@@ -1,0 +1,176 @@
+"""Image resizing as separable matrix multiplies.
+
+TPU-first design: instead of gather-based interpolation (VPU-bound, poor
+layout), a resize along one axis is a dense ``(out, in)`` weight matrix
+applied as a matmul — the MXU eats it, XLA fuses the two axes with the
+surrounding ops, and the weights are computed once at trace time (static
+shapes).
+
+Two families are provided, matching the two semantics used by the reference:
+
+- ``resize_antialias``: PIL/torchvision ``Resize(..., antialias=True)``
+  semantics (half-pixel sampling grid; kernel support scaled by the
+  downscale factor). Used by the data pipeline
+  (reference ``data_processing/simcol.py:73-135``).
+  Cubic kernel uses A=-0.5 (PIL convention; torchvision tensor-mode uses
+  A=-0.75 without antialias, but with antialias=True torchvision matches
+  PIL). Divergence <=1e-3 in pixel value either way.
+
+- ``resize_align_corners``: ``F.interpolate(..., align_corners=True)``
+  semantics (endpoint-aligned grid, no antialias), used inside the DPT
+  decoder (reference DPT head uses bilinear align_corners=True).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys cubic convolution kernel (PIL uses a=-0.5)."""
+    x = np.abs(x)
+    x2, x3 = x * x, x * x * x
+    w = np.where(
+        x <= 1.0,
+        (a + 2.0) * x3 - (a + 3.0) * x2 + 1.0,
+        np.where(x < 2.0, a * x3 - 5.0 * a * x2 + 8.0 * a * x - 4.0 * a, 0.0),
+    )
+    return w
+
+
+def _linear_kernel(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    return np.maximum(1.0 - x, 0.0)
+
+
+_KERNELS = {
+    "bicubic": (_cubic_kernel, 2.0),
+    "bilinear": (_linear_kernel, 1.0),
+}
+
+
+@functools.lru_cache(maxsize=128)
+def _antialias_matrix(in_size: int, out_size: int, method: str) -> np.ndarray:
+    """(out, in) resampling matrix with PIL-style antialias support scaling."""
+    kernel_fn, support = _KERNELS[method]
+    scale = in_size / out_size
+    # Antialias: widen the kernel when downscaling.
+    filter_scale = max(scale, 1.0)
+    support = support * filter_scale
+
+    out_coords = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    left = np.floor(out_coords - support).astype(np.int64)
+    max_taps = int(np.ceil(2.0 * support)) + 2
+    taps = left[:, None] + np.arange(max_taps)[None, :]
+    dist = (out_coords[:, None] - taps) / filter_scale
+    weights = kernel_fn(dist)
+    # PIL drops out-of-bounds taps and renormalizes over the valid window.
+    valid = (taps >= 0) & (taps < in_size)
+    weights = weights * valid
+    taps = np.clip(taps, 0, in_size - 1)
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(mat, (np.repeat(np.arange(out_size), max_taps), taps.ravel()),
+              weights.ravel())
+    norm = mat.sum(axis=1, keepdims=True)
+    mat = mat / np.where(norm == 0, 1.0, norm)
+    return mat.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=128)
+def _align_corners_matrix(in_size: int, out_size: int, method: str) -> np.ndarray:
+    """(out, in) matrix for align_corners=True interpolation (no antialias)."""
+    kernel_fn, support = _KERNELS[method]
+    if out_size == 1:
+        out_coords = np.zeros(1, dtype=np.float64)
+    elif in_size == 1:
+        out_coords = np.zeros(out_size, dtype=np.float64)
+    else:
+        out_coords = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    left = np.floor(out_coords - support).astype(np.int64)
+    max_taps = int(np.ceil(2.0 * support)) + 2
+    taps = left[:, None] + np.arange(max_taps)[None, :]
+    dist = out_coords[:, None] - taps
+    weights = kernel_fn(dist)
+    taps = np.clip(taps, 0, in_size - 1)
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(mat, (np.repeat(np.arange(out_size), max_taps), taps.ravel()),
+              weights.ravel())
+    norm = mat.sum(axis=1, keepdims=True)
+    mat = mat / np.where(norm == 0, 1.0, norm)
+    return mat.astype(np.float32)
+
+
+def _apply_separable(x: Array, mat_h: np.ndarray, mat_w: np.ndarray) -> Array:
+    """Apply per-axis resize matrices to NHWC (or HWC / HW) images."""
+    squeeze_batch = False
+    squeeze_chan = False
+    if x.ndim == 2:
+        x = x[None, :, :, None]
+        squeeze_batch = squeeze_chan = True
+    elif x.ndim == 3:
+        x = x[None]
+        squeeze_batch = True
+    if x.ndim != 4:
+        raise ValueError(f"expected 2D/3D/4D input, got {x.shape}")
+
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    a_h = jnp.asarray(mat_h)
+    a_w = jnp.asarray(mat_w)
+    # (B,H,W,C): contract H then W on the MXU. Resampling weights must not be
+    # truncated (bf16 passes would bias the data pipeline), so pin precision.
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,bhwc->bowc", a_h, xf, precision=hi)
+    y = jnp.einsum("ow,bhwc->bhoc", a_w, y, precision=hi)
+    y = y.astype(dtype)
+    if squeeze_chan:
+        y = y[..., 0]
+    if squeeze_batch:
+        y = y[0]
+    return y
+
+
+def resize_antialias(x: Array, out_hw: tuple[int, int],
+                     method: str = "bicubic") -> Array:
+    """PIL/torchvision-style antialiased resize of NHWC/HWC/HW images."""
+    h_out, w_out = out_hw
+    h_in = x.shape[-3] if x.ndim >= 3 else x.shape[0]
+    w_in = x.shape[-2] if x.ndim >= 3 else x.shape[1]
+    return _apply_separable(
+        x,
+        _antialias_matrix(h_in, h_out, method),
+        _antialias_matrix(w_in, w_out, method),
+    )
+
+
+def resize_align_corners(x: Array, out_hw: tuple[int, int],
+                         method: str = "bilinear") -> Array:
+    """torch ``F.interpolate(..., align_corners=True)``-style resize."""
+    h_out, w_out = out_hw
+    h_in = x.shape[-3] if x.ndim >= 3 else x.shape[0]
+    w_in = x.shape[-2] if x.ndim >= 3 else x.shape[1]
+    return _apply_separable(
+        x,
+        _align_corners_matrix(h_in, h_out, method),
+        _align_corners_matrix(w_in, w_out, method),
+    )
+
+
+def resize_nearest(x: Array, out_hw: tuple[int, int]) -> Array:
+    """Nearest-neighbor resize (cv2.INTER_NEAREST semantics)."""
+    h_out, w_out = out_hw
+    if x.ndim == 2:
+        h_in, w_in = x.shape
+    else:
+        h_in, w_in = x.shape[-3], x.shape[-2]
+    rows = jnp.clip((jnp.arange(h_out) * h_in) // h_out, 0, h_in - 1)
+    cols = jnp.clip((jnp.arange(w_out) * w_in) // w_out, 0, w_in - 1)
+    if x.ndim == 2:
+        return x[rows][:, cols]
+    return jnp.take(jnp.take(x, rows, axis=-3), cols, axis=-2)

@@ -1,0 +1,115 @@
+"""Device mesh construction and sharding rules.
+
+The reference has no in-tree parallelism (single-GPU Lightning,
+SURVEY.md section 2c). The TPU-native design makes parallelism first-class:
+
+- a 2-D logical mesh ``('data', 'model')`` over ICI;
+- batch tensors sharded on ``data``;
+- parameters replicated by default, with optional tensor-parallel sharding
+  of the ViT attention heads / MLP hidden dim on ``model`` (the models are
+  small, so TP is an opt-in scale-out axis, not a requirement);
+- gradients/metrics all-reduced by pjit-inserted collectives — no hand-rolled
+  NCCL-style code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Logical mesh shape; -1 means 'all remaining devices'."""
+    data: int = -1
+    model: int = 1
+
+
+def build_mesh(spec: MeshSpec | None = None,
+               devices: list | None = None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    spec = spec or MeshSpec()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = spec.model if spec.model > 0 else 1
+    data = spec.data if spec.data > 0 else n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Tensor-parallel rules for ViT parameters, matched against the flattened
+# parameter path ("/"-joined). Column-parallel on qkv/fc1, row-parallel on
+# proj/fc2 — the classic Megatron split, expressed purely as shardings so
+# XLA inserts the all-reduces.
+_TP_RULES: list[tuple[str, P]] = [
+    (r".*attn/qkv/kernel$", P(None, MODEL_AXIS)),
+    (r".*attn/qkv/bias$", P(MODEL_AXIS)),
+    (r".*attn/proj/kernel$", P(MODEL_AXIS, None)),
+    (r".*mlp/fc1/kernel$", P(None, MODEL_AXIS)),
+    (r".*mlp/fc1/bias$", P(MODEL_AXIS)),
+    (r".*mlp/fc2/kernel$", P(MODEL_AXIS, None)),
+]
+
+
+def _spec_for_path(path: str, tp: bool) -> P:
+    if tp:
+        for pattern, spec in _TP_RULES:
+            if re.fullmatch(pattern, path):
+                return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any, tensor_parallel: bool = False):
+    """NamedSharding pytree for a parameter pytree.
+
+    With ``tensor_parallel=False`` (default) everything is replicated; with
+    True, ViT attention/MLP weights are sharded over the ``model`` axis.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp) -> str:
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        return "/".join(parts)
+
+    tp = tensor_parallel and mesh.shape[MODEL_AXIS] > 1
+
+    def shard_one(kp, leaf):
+        spec = _spec_for_path(path_str(kp), tp)
+        # Drop specs that don't divide the dimension evenly.
+        if tp and spec != P():
+            for dim, axis in enumerate(spec):
+                if axis is not None and (
+                        dim >= leaf.ndim
+                        or leaf.shape[dim] % mesh.shape[axis] != 0):
+                    spec = P()
+                    break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(shard_one, params)
