@@ -1,0 +1,143 @@
+"""DepthAnythingV2-style metric depth model (encoder + DPT head) and the
+single-image inference pipeline.
+
+Model-size table matches the reference exactly
+(``/root/reference/run.py:97-118`` / ``lightning_model.py:88-109``);
+``infer_image`` reproduces the reference's per-frame inference semantics
+(``run.py:234``: lower-bound aspect-preserving resize to multiples of 14,
+ImageNet normalization, forward, bilinear resize back to the input size).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dinov2 import DinoViT, INTERMEDIATE_LAYER_IDX, VIT_ARCHS, PATCH_SIZE
+from .dpt import DPTHead
+from ..ops.resize import resize_antialias, resize_align_corners
+
+Array = jax.Array
+
+MODEL_CONFIGS: dict[str, dict[str, Any]] = {
+    "vits": {"encoder": "vits", "features": 64,
+             "out_channels": [48, 96, 192, 384]},
+    "vitb": {"encoder": "vitb", "features": 128,
+             "out_channels": [96, 192, 384, 768]},
+    "vitl": {"encoder": "vitl", "features": 256,
+             "out_channels": [256, 512, 1024, 1024]},
+    "vitg": {"encoder": "vitg", "features": 384,
+             "out_channels": [1536, 1536, 1536, 1536]},
+    # tiny debug config (not in the reference)
+    "vitt": {"encoder": "vitt", "features": 32,
+             "out_channels": [16, 32, 48, 64]},
+}
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class DepthAnythingV2(nn.Module):
+    """Metric monocular depth: ``depth = sigmoid(head(vit(x))) * max_depth``.
+
+    Input: (B, H, W, 3) NHWC, ImageNet-normalized, H/W multiples of 14.
+    Output: (B, H, W) depth in [0, max_depth], f32.
+    """
+
+    encoder: str = "vitl"
+    features: int = 256
+    out_channels: tuple[int, ...] = (256, 512, 1024, 1024)
+    max_depth: float = 20.0
+    dtype: Any = jnp.bfloat16
+    grad_checkpoint: bool = False
+
+    @nn.compact
+    def __call__(self, img: Array) -> Array:
+        b, h, w, _ = img.shape
+        ph, pw = h // PATCH_SIZE, w // PATCH_SIZE
+        taps = DinoViT(self.encoder, self.dtype, self.grad_checkpoint,
+                       name="pretrained")(img)
+        depth01 = DPTHead(VIT_ARCHS[self.encoder]["embed_dim"], self.features,
+                          tuple(self.out_channels), self.dtype,
+                          name="depth_head")(taps, ph, pw)
+        return depth01[..., 0].astype(jnp.float32) * self.max_depth
+
+
+def build_depth_model(encoder: str, max_depth: float,
+                      dtype: Any = jnp.bfloat16,
+                      grad_checkpoint: bool = False) -> DepthAnythingV2:
+    cfg = MODEL_CONFIGS[encoder]
+    return DepthAnythingV2(
+        encoder=cfg["encoder"],
+        features=cfg["features"],
+        out_channels=tuple(cfg["out_channels"]),
+        max_depth=max_depth,
+        dtype=dtype,
+        grad_checkpoint=grad_checkpoint,
+    )
+
+
+def _lower_bound_hw(h: int, w: int, target: int,
+                    multiple: int = PATCH_SIZE) -> tuple[int, int]:
+    """Aspect-preserving resize so min(H', W') >= target, rounded to
+    multiples of 14 (DAv2 ``image2tensor`` lower-bound semantics)."""
+    scale = max(target / h, target / w)
+    def round_up_to(x: float) -> int:
+        return int(np.ceil(x / multiple) * multiple)
+    def round_to(x: float) -> int:
+        r = int(np.round(x / multiple) * multiple)
+        if r < target:
+            r = round_up_to(x)
+        return max(r, multiple)
+    return round_to(h * scale), round_to(w * scale)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _infer(params, rgb01: Array, net_hw: tuple[int, int],
+           model_static) -> Array:
+    model = model_static()
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    x = resize_antialias(rgb01[None], net_hw, method="bicubic")
+    x = (x - mean) / std
+    depth = model.apply({"params": params}, x)
+    out = resize_align_corners(depth[..., None],
+                               (rgb01.shape[0], rgb01.shape[1]))
+    return out[0, ..., 0]
+
+
+def infer_image(model: DepthAnythingV2, params, bgr: np.ndarray,
+                input_size: int = 518) -> np.ndarray:
+    """Reference ``infer_image`` pipeline on one BGR uint8 frame.
+
+    BGR->RGB, /255, lower-bound resize to multiples of 14, normalize,
+    forward, bilinear back to the original resolution. Returns f32 depth
+    (H, W) in metric units.
+    """
+    rgb01 = jnp.asarray(bgr[..., ::-1].astype(np.float32) / 255.0)
+    net_hw = _lower_bound_hw(bgr.shape[0], bgr.shape[1], input_size)
+    model_static = _ModelThunk(model)
+    return np.asarray(_infer(params, rgb01, net_hw, model_static))
+
+
+class _ModelThunk:
+    """Hashable wrapper so the module config is a static jit arg."""
+
+    def __init__(self, model: DepthAnythingV2):
+        self._model = model
+        self._key = (model.encoder, model.features, tuple(model.out_channels),
+                     float(model.max_depth), str(model.dtype))
+
+    def __call__(self) -> DepthAnythingV2:
+        return self._model
+
+    def __hash__(self) -> int:
+        return hash(self._key)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, _ModelThunk) and self._key == other._key

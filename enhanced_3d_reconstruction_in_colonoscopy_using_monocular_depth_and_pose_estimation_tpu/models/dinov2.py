@@ -1,0 +1,196 @@
+"""DINOv2 ViT encoder (vits/vitb/vitl/vitg, patch 14), Flax/NHWC.
+
+TPU-native re-design of the DepthAnythingV2 encoder used by the reference
+via the external ``Depth_Anything_V2`` checkout (imported at
+``/root/reference/lightning_model.py:16``; sizes table at ``run.py:97-118``).
+Architecture parity targets the published DINOv2 ViT so converted ``.pth``
+weights drop in (see ``models/convert.py``):
+
+- patch embed: 14x14/14 conv; cls token; learned pos-embed for a 37x37 grid
+  (518 px) with bicubic interpolation for other sizes;
+- pre-LN blocks (eps 1e-6), exact GELU MLP (ratio 4), LayerScale
+  (init_values=1.0), no register tokens;
+- ``get_intermediate_layers`` semantics: tap blocks at the DAv2 indices,
+  apply the final LayerNorm to each tap, return (patch_tokens, cls_token).
+
+TPU specifics: attention runs through ``ops.attention`` (Pallas flash
+attention on TPU); activations in bf16 with f32 params (core.dtypes policy);
+gradient checkpointing via ``flax.linen.remat`` mirrors the reference's
+``set_grad_checkpointing`` (``lightning_model.py:124-127``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import attention as attn_ops
+
+Array = jax.Array
+
+VIT_ARCHS: dict[str, dict[str, int]] = {
+    "vits": dict(embed_dim=384, depth=12, num_heads=6),
+    "vitb": dict(embed_dim=768, depth=12, num_heads=12),
+    "vitl": dict(embed_dim=1024, depth=24, num_heads=16),
+    "vitg": dict(embed_dim=1536, depth=40, num_heads=24),
+    # tiny config for tests / dry runs (not in the reference)
+    "vitt": dict(embed_dim=64, depth=2, num_heads=2),
+}
+
+# DAv2 feature-tap indices per encoder size.
+INTERMEDIATE_LAYER_IDX: dict[str, list[int]] = {
+    "vits": [2, 5, 8, 11],
+    "vitb": [2, 5, 8, 11],
+    "vitl": [4, 11, 17, 23],
+    "vitg": [9, 19, 29, 39],
+    "vitt": [0, 0, 1, 1],
+}
+
+PATCH_SIZE = 14
+POS_GRID = 37  # pretrained pos-embed grid (518 / 14)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, n, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = attn_ops.multi_head_attention(q, k, v)
+        out = out.reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="proj")(out)
+
+
+class LayerScale(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        return x * gamma.astype(x.dtype)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm1")(x)
+        y = Attention(self.dim, self.num_heads, self.dtype, name="attn")(y)
+        x = x + LayerScale(self.dim, name="ls1")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm2")(x)
+        y = Mlp(4 * self.dim, self.dim, self.dtype, name="mlp")(y)
+        return x + LayerScale(self.dim, name="ls2")(y)
+
+
+def interpolate_pos_embed(pos_embed: Array, grid_h: int, grid_w: int) -> Array:
+    """Resize the (1, 1+37*37, C) pos-embed to a (grid_h, grid_w) patch grid.
+
+    DINOv2 interpolates the patch grid bicubically and keeps the cls slot.
+    """
+    cls_pe = pos_embed[:, :1]
+    patch_pe = pos_embed[:, 1:]
+    n = patch_pe.shape[1]
+    src = int(round(float(n) ** 0.5))
+    if (grid_h, grid_w) == (src, src):
+        return pos_embed
+    c = patch_pe.shape[-1]
+    grid = patch_pe.reshape(1, src, src, c)
+    grid = jax.image.resize(grid, (1, grid_h, grid_w, c), method="bicubic")
+    return jnp.concatenate([cls_pe, grid.reshape(1, grid_h * grid_w, c)], axis=1)
+
+
+class DinoViT(nn.Module):
+    """DINOv2 ViT trunk exposing DAv2-style intermediate features."""
+
+    encoder: str = "vitl"
+    dtype: Any = jnp.bfloat16
+    grad_checkpoint: bool = False
+
+    @nn.compact
+    def __call__(self, img: Array, tap_indices: list[int] | None = None
+                 ) -> list[tuple[Array, Array]]:
+        """img: (B, H, W, 3), H/W multiples of 14, already normalized.
+
+        Returns [(patch_tokens (B, N, C), cls_token (B, C)), ...] per tap,
+        each with the final LayerNorm applied (dinov2
+        ``get_intermediate_layers(..., norm=True)`` semantics).
+        """
+        arch = VIT_ARCHS[self.encoder]
+        dim, depth, heads = arch["embed_dim"], arch["depth"], arch["num_heads"]
+        taps = tap_indices or INTERMEDIATE_LAYER_IDX[self.encoder]
+
+        b, h, w, _ = img.shape
+        gh, gw = h // PATCH_SIZE, w // PATCH_SIZE
+
+        x = nn.Conv(dim, kernel_size=(PATCH_SIZE, PATCH_SIZE),
+                    strides=(PATCH_SIZE, PATCH_SIZE), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="patch_embed")(img.astype(self.dtype))
+        x = x.reshape(b, gh * gw, dim)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros,
+                               (1, 1, dim), jnp.float32)
+        # mask_token exists in the checkpoints; declare it for conversion
+        # completeness (unused at inference/fine-tune).
+        self.param("mask_token", nn.initializers.zeros, (1, dim), jnp.float32)
+        pos_grid = POS_GRID if self.encoder != "vitt" else 4
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, 1 + pos_grid * pos_grid, dim), jnp.float32)
+
+        cls = jnp.broadcast_to(cls_token.astype(self.dtype), (b, 1, dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        pe = interpolate_pos_embed(pos_embed, gh, gw).astype(self.dtype)
+        x = x + pe
+
+        final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                  param_dtype=jnp.float32, name="norm")
+
+        block_cls = Block
+        if self.grad_checkpoint:
+            block_cls = nn.remat(Block)
+
+        outputs: dict[int, Array] = {}
+        tap_set = set(taps)
+        for i in range(depth):
+            x = block_cls(dim, heads, self.dtype, name=f"blocks_{i}")(x)
+            if i in tap_set:
+                outputs[i] = x
+
+        results: list[tuple[Array, Array]] = []
+        for i in taps:
+            y = final_norm(outputs[i])
+            results.append((y[:, 1:], y[:, 0]))
+        return results

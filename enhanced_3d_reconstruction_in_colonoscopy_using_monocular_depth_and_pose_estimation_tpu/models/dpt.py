@@ -1,0 +1,153 @@
+"""DPT decoder head for metric depth, Flax/NHWC.
+
+Structural parity with the DAv2 metric-depth DPT head that the reference
+consumes externally (``/root/reference/lightning_model.py:16``;
+features/out_channels tables duplicated at ``lightning_model.py:88-109`` and
+``run.py:97-118``):
+
+- per-tap 1x1 projection to ``out_channels[i]``;
+- resize stack: 4x and 2x learned upsampling, identity, stride-2 3x3 conv;
+- 3x3 no-bias "scratch" convs to the common ``features`` width;
+- four RefineNet-style fusion blocks (ResidualConvUnit x2 + 1x1 out conv,
+  bilinear align_corners=True upsampling);
+- head: 3x3 conv -> bilinear to (14*ph, 14*pw) -> 3x3 conv -> ReLU ->
+  1x1 conv -> sigmoid (metric variant; caller scales by max_depth).
+
+TPU re-design notes: the k=stride transposed convs are expressed as an
+einsum + reshape ("pixel expand") — mathematically identical, maps straight
+onto the MXU with no conv_transpose lowering; upsampling is the
+matmul-based ``resize_align_corners``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_align_corners
+
+Array = jax.Array
+
+
+class PixelExpand(nn.Module):
+    """ConvTranspose with kernel_size == stride == factor.
+
+    out[b, h*f+i, w*f+j, o] = sum_c x[b,h,w,c] * W[i,j,c,o] + bias[o]
+    """
+
+    features: int
+    factor: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        f = self.factor
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (f, f, c, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = jnp.einsum("bhwc,ijco->bhiwjo", x, kernel.astype(x.dtype))
+        y = y.reshape(b, h * f, w * f, self.features)
+        return y + bias.astype(y.dtype)
+
+
+class ResidualConvUnit(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out = nn.relu(x)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv2")(out)
+        return out + x
+
+
+class FeatureFusionBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, res: Array | None = None,
+                 out_hw: tuple[int, int] | None = None) -> Array:
+        if res is not None:
+            x = x + ResidualConvUnit(self.features, self.dtype,
+                                     name="resConfUnit1")(res)
+        x = ResidualConvUnit(self.features, self.dtype,
+                             name="resConfUnit2")(x)
+        if out_hw is None:
+            out_hw = (2 * x.shape[1], 2 * x.shape[2])
+        x = resize_align_corners(x, out_hw)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32, name="out_conv")(x)
+
+
+class DPTHead(nn.Module):
+    embed_dim: int
+    features: int
+    out_channels: Sequence[int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, taps: list[tuple[Array, Array]],
+                 patch_h: int, patch_w: int) -> Array:
+        """taps: 4 x (patch_tokens (B, N, C), cls). Returns (B, 14ph, 14pw, 1)
+        in [0, 1] (sigmoid)."""
+        assert len(taps) == 4
+        outs = []
+        for i, (tokens, _cls) in enumerate(taps):
+            b, n, c = tokens.shape
+            x = tokens.reshape(b, patch_h, patch_w, c)
+            x = nn.Conv(self.out_channels[i], (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"project_{i}")(x)
+            if i == 0:
+                x = PixelExpand(self.out_channels[0], 4, self.dtype,
+                                name="resize_0")(x)
+            elif i == 1:
+                x = PixelExpand(self.out_channels[1], 2, self.dtype,
+                                name="resize_1")(x)
+            elif i == 3:
+                x = nn.Conv(self.out_channels[3], (3, 3), strides=(2, 2),
+                            padding=1, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="resize_3")(x)
+            outs.append(x)
+
+        rn = []
+        for i, x in enumerate(outs):
+            rn.append(nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                              dtype=self.dtype, param_dtype=jnp.float32,
+                              name=f"layer{i + 1}_rn")(x))
+        l1, l2, l3, l4 = rn
+
+        path4 = FeatureFusionBlock(self.features, self.dtype,
+                                   name="refinenet4")(
+            l4, None, out_hw=(l3.shape[1], l3.shape[2]))
+        path3 = FeatureFusionBlock(self.features, self.dtype,
+                                   name="refinenet3")(
+            path4, l3, out_hw=(l2.shape[1], l2.shape[2]))
+        path2 = FeatureFusionBlock(self.features, self.dtype,
+                                   name="refinenet2")(
+            path3, l2, out_hw=(l1.shape[1], l1.shape[2]))
+        path1 = FeatureFusionBlock(self.features, self.dtype,
+                                   name="refinenet1")(path2, l1)
+
+        out = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="output_conv1")(path1)
+        out = resize_align_corners(out, (patch_h * 14, patch_w * 14))
+        # Metric head in f32: sigmoid saturation in bf16 costs depth
+        # resolution (SURVEY.md section 7, bf16 drift risk).
+        out = nn.Conv(32, (3, 3), padding=1, dtype=jnp.float32,
+                      param_dtype=jnp.float32,
+                      name="output_conv2_0")(out.astype(jnp.float32))
+        out = nn.relu(out)
+        out = nn.Conv(1, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32,
+                      name="output_conv2_2")(out)
+        return nn.sigmoid(out)
