@@ -1,0 +1,235 @@
+"""Depth fine-tuning task: jitted train/eval steps over a device mesh.
+
+TPU-native re-design of ``DepthAnythingV2Module``
+(``/root/reference/lightning_model.py:49-407``) and its combined-dataset
+variant (``lightning_model_combined.py``):
+
+- ``train_step`` is a single compiled program: gradient accumulation is a
+  ``lax.scan`` over microbatches (reference: Lightning
+  ``accumulate_grad_batches=4``, ``configs/trainer/default.yaml:7``),
+  followed by global-norm clipping and the two-group AdamW/OneCycle update.
+  State is donated, so parameters update in place in HBM.
+- batches are sharded over the ``data`` mesh axis; XLA inserts the gradient
+  all-reduce (psum) — the TPU equivalent of DDP.
+- per-source handling for the combined dataset (per-sample ``max_depth``
+  mask bound, C3VD cm->mm metric rescale) follows
+  ``lightning_model_combined.py:160-164,330-334,372-391``.
+- validity mask: ``min_depth <= depth <= max_depth``
+  (``lightning_model.py:191-193``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.dtypes import DtypePolicy, POLICY_BF16
+from ..evaluation.depth_metrics import compute_depth_errors
+from ..losses.silog import silog_loss
+from ..models.depth_anything import build_depth_model
+from ..parallel import mesh as meshlib
+from .optim import make_depth_optimizer
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DepthTrainState:
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+class DepthTask:
+    """Owns the model, optimizer and compiled steps for depth fine-tuning."""
+
+    def __init__(
+        self,
+        encoder: str = "vitl",
+        min_depth: float = 1e-6,
+        max_depth: float = 20.0,
+        encoder_lr: float = 5e-6,
+        decoder_lr: float = 5e-5,
+        pct_start: float = 0.1,
+        div_factor: float = 1e9,
+        total_steps: int = 1000,
+        grad_accum: int = 4,
+        clip_norm: float = 1.0,
+        policy: DtypePolicy = POLICY_BF16,
+        grad_checkpoint: bool = True,
+        device_mesh=None,
+        tensor_parallel: bool = False,
+    ):
+        self.model = build_depth_model(
+            encoder, max_depth, dtype=policy.compute_dtype,
+            grad_checkpoint=grad_checkpoint)
+        self.encoder = encoder
+        self.min_depth = float(min_depth)
+        self.max_depth = float(max_depth)
+        self.grad_accum = int(grad_accum)
+        self.mesh = device_mesh or meshlib.build_mesh()
+        self.tensor_parallel = tensor_parallel
+        self._opt_factory = functools.partial(
+            make_depth_optimizer,
+            encoder_lr=encoder_lr, decoder_lr=decoder_lr,
+            total_steps=total_steps, pct_start=pct_start,
+            div_factor=div_factor, clip_norm=clip_norm)
+        self._optimizer = None
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, rng: Array, image_hw: tuple[int, int],
+                   pretrained_params: Any | None = None) -> DepthTrainState:
+        """Initialize (on host, then device_put with mesh shardings).
+
+        ``pretrained_params`` is a converted DAv2 tree; encoder-only trees
+        merge over the random init (reference bootstrap semantics,
+        ``lightning_model.py:130-140``).
+        """
+        h, w = image_hw
+        sample = jnp.zeros((1, h, w, 3), jnp.float32)
+        params = self.model.init(rng, sample)["params"]
+        if pretrained_params is not None:
+            params = _merge_params(params, pretrained_params)
+
+        self._optimizer = self._opt_factory(params)
+        opt_state = self._optimizer.init(params)
+        state = DepthTrainState(params, opt_state,
+                                jnp.zeros((), jnp.int32))
+
+        shardings = self.state_shardings(state)
+        return jax.device_put(state, shardings)
+
+    def state_shardings(self, state: DepthTrainState):
+        param_sh = meshlib.param_shardings(self.mesh, state.params,
+                                           self.tensor_parallel)
+
+        def opt_sh(leaf):
+            return meshlib.replicated_sharding(self.mesh)
+
+        opt_state_sh = jax.tree.map(opt_sh, state.opt_state)
+        return DepthTrainState(param_sh, opt_state_sh,
+                               meshlib.replicated_sharding(self.mesh))
+
+    # ------------------------------------------------------------- loss core
+
+    def _loss_and_metrics(self, params, image, depth, max_depth_arr):
+        pred = self.model.apply({"params": params}, image)  # (b, h, w)
+        gt = depth[..., 0] if depth.ndim == 4 else depth
+        maxd = max_depth_arr[:, None, None]
+        mask = (gt >= self.min_depth) & (gt <= maxd)
+        loss = silog_loss(pred, gt, mask)
+        metrics = compute_depth_errors(jax.lax.stop_gradient(pred), gt, mask)
+        return loss, metrics
+
+    def _microbatch_max_depth(self, batch, mb_shape0):
+        if "max_depth" in batch:
+            return batch["max_depth"]
+        return jnp.full((mb_shape0,), self.max_depth, jnp.float32)
+
+    # ------------------------------------------------------------ train step
+
+    def _build_train_step(self):
+        def step_fn(state: DepthTrainState, batch: dict) -> tuple:
+            """batch leaves have shape (A, mb, ...): A = grad-accum chunks."""
+            accum = batch["image"].shape[0]
+            mb = batch["image"].shape[1]
+
+            def micro(carry, xs):
+                grads_acc, loss_acc, met_acc = carry
+                image, depth, maxd = xs
+                (loss, metrics), grads = jax.value_and_grad(
+                    self._loss_and_metrics, has_aux=True)(
+                        state.params, image, depth, maxd)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                met_acc = jax.tree.map(jnp.add, met_acc, metrics)
+                return (grads_acc, loss_acc + loss, met_acc), None
+
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            zero_mets = {k: jnp.zeros((), jnp.float32)
+                         for k in ("d1", "abs_rel", "rmse", "l1")}
+            maxd = batch.get(
+                "max_depth",
+                jnp.full((accum, mb), self.max_depth, jnp.float32))
+            (grads, loss_sum, met_sum), _ = jax.lax.scan(
+                micro, (zero_grads, jnp.zeros((), jnp.float32), zero_mets),
+                (batch["image"], batch["depth"], maxd))
+
+            inv_a = 1.0 / accum
+            grads = jax.tree.map(lambda g: g * inv_a, grads)
+            updates, opt_state = self._optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = DepthTrainState(params, opt_state, state.step + 1)
+            metrics = {k: v * inv_a for k, v in met_sum.items()}
+            metrics["loss"] = loss_sum * inv_a
+            return new_state, metrics
+
+        state_sh = None  # resolved lazily at first call
+        batch_spec = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, meshlib.DATA_AXIS))
+        return step_fn, batch_spec
+
+    def train_step(self, state: DepthTrainState, batch: dict):
+        """batch: dict of (A, mb, ...) arrays; returns (state, metrics)."""
+        if self._train_step is None:
+            step_fn, batch_spec = self._build_train_step()
+            state_shardings = self.state_shardings(state)
+            batch_shardings = {
+                "image": batch_spec, "depth": batch_spec,
+            }
+            if "max_depth" in batch:
+                batch_shardings["max_depth"] = batch_spec
+            metric_sh = meshlib.replicated_sharding(self.mesh)
+            self._train_step = jax.jit(
+                step_fn,
+                donate_argnums=(0,),
+                in_shardings=(state_shardings, batch_shardings),
+                out_shardings=(state_shardings,
+                               {k: metric_sh for k in
+                                ("d1", "abs_rel", "rmse", "l1", "loss")}),
+            )
+        return self._train_step(state, batch)
+
+    # ------------------------------------------------------------- eval step
+
+    def eval_step(self, params, batch: dict):
+        """batch: dict of (B, ...) arrays; returns scalar loss + metrics."""
+        if self._eval_step is None:
+            def step_fn(params, batch):
+                maxd = batch.get(
+                    "max_depth",
+                    jnp.full((batch["image"].shape[0],), self.max_depth,
+                             jnp.float32))
+                loss, metrics = self._loss_and_metrics(
+                    params, batch["image"], batch["depth"], maxd)
+                metrics["loss"] = loss
+                return metrics
+
+            self._eval_step = jax.jit(step_fn)
+        return self._eval_step(params, batch)
+
+    def predict(self, params, image: Array) -> Array:
+        """image: (B, H, W, 3) normalized -> (B, H, W) depth."""
+        return jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x))(params, image)
+
+
+def _merge_params(base: Any, overlay: Any) -> Any:
+    """Recursively overlay converted weights onto a random init."""
+    if isinstance(base, dict) and isinstance(overlay, dict):
+        out = dict(base)
+        for k, v in overlay.items():
+            out[k] = _merge_params(base[k], v) if k in base else v
+        return out
+    return jnp.asarray(overlay, dtype=base.dtype if hasattr(base, "dtype")
+                       else None)
