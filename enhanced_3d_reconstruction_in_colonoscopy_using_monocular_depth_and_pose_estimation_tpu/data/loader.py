@@ -1,0 +1,117 @@
+"""Threaded prefetching batch loader.
+
+Replaces the reference's torch ``DataLoader(num_workers=8, pin_memory=True,
+persistent_workers=True)`` (``simcol.py:262-293``). Decode happens in a
+thread pool (PIL/cv2 release the GIL), batches are assembled ahead of the
+consumer into a bounded queue, and string fields are kept as lists while
+array fields are stacked into contiguous numpy batches ready for a single
+host->device transfer.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator
+
+import numpy as np
+
+
+def _collate(samples: list[dict[str, Any]]) -> dict[str, Any]:
+    batch: dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            batch[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.floating, np.integer)):
+            batch[key] = np.asarray(vals)
+        else:
+            batch[key] = vals
+    return batch
+
+
+class PrefetchLoader:
+    """Iterable over batches of a map-style dataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, num_threads: int = 8,
+                 seed: int | None = None, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = max(1, num_threads)
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(
+                None if self.seed is None else self.seed + self._epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        order = self._index_order()
+        self._epoch += 1
+        n_batches = len(self)
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    def submit(b: int):
+                        idxs = order[b * self.batch_size:
+                                     (b + 1) * self.batch_size]
+                        return [pool.submit(self.dataset.__getitem__, int(i))
+                                for i in idxs]
+
+                    # Sliding window: decode a few batches ahead, never the
+                    # whole epoch.
+                    window: list = []
+                    next_b = 0
+                    while next_b < n_batches and len(window) <= self.prefetch:
+                        window.append(submit(next_b))
+                        next_b += 1
+                    while window:
+                        if stop.is_set():
+                            return
+                        futs = window.pop(0)
+                        samples = [f.result() for f in futs]
+                        out_q.put(_collate(samples))
+                        if next_b < n_batches:
+                            window.append(submit(next_b))
+                            next_b += 1
+            except Exception as exc:  # propagate to consumer
+                out_q.put(exc)
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
