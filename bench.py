@@ -1,0 +1,97 @@
+"""Benchmark: flagship depth-model throughput on the attached TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: DepthAnythingV2-vitl 518 px inference throughput (frames/sec/chip),
+bf16 activations / f32 params, batch 8 — the hot path of the reference's
+``run.py`` / ``test_lightning.py`` flows. The reference publishes no
+throughput numbers (BASELINE.md), so ``vs_baseline`` is measured against
+``BENCH_BASELINE.json`` in this repo (written on first run) — i.e. round-1
+performance is the baseline and later rounds show the speedup.
+
+Extra diagnostics go to stderr only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.models import (  # noqa: E501
+        build_depth_model,
+    )
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    batch = 8
+    model = build_depth_model("vitl", max_depth=20.0, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    image = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 518, 518, 3))
+        .astype(np.float32))
+    t0 = time.time()
+    params = model.init(rng, image[:1])["params"]
+    log(f"init: {time.time() - t0:.1f}s")
+
+    # The axon tunnel's block_until_ready does not reliably wait for remote
+    # execution, and large-tensor readbacks are tunnel-bound. So: iterate on
+    # DEVICE with data-dependent chaining (each step feeds the next, no
+    # dedup/DCE possible) and read back one scalar, which forces completion.
+    iters = 10
+
+    def many(p, x):
+        def body(_, acc):
+            d = model.apply({"params": p}, x + acc * 1e-9)
+            return jnp.mean(d)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    many_j = jax.jit(many)
+    t0 = time.time()
+    float(many_j(params, image))
+    log(f"compile+first-run: {time.time() - t0:.1f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        float(many_j(params, image))  # scalar readback == real completion
+        times.append(time.time() - t0)
+    dt = min(times)
+    fps = batch * iters / dt
+    log(f"steady-state: {dt / iters * 1000:.1f} ms/batch, {fps:.2f} frames/s")
+
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE, "r", encoding="utf-8") as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = fps
+        with open(BASELINE_FILE, "w", encoding="utf-8") as f:
+            json.dump({"metric": "depth_vitl518_infer_fps", "value": fps,
+                       "note": "round-1 self-baseline (reference publishes "
+                               "no throughput)"}, f)
+
+    print(json.dumps({
+        "metric": "depth_vitl518_infer_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

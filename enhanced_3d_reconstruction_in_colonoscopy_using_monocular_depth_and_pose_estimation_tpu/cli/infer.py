@@ -1,0 +1,132 @@
+"""Single/batch depth inference CLI — the reference's ``run.py``.
+
+Usage:
+    python -m ...cli.infer --encoder vitl --load-from ckpt.pth \
+        --max-depth 20 -i images_dir -d testing [-o outdir] \
+        [--input-size 518] [--save-numpy] [--pred-only] [--grayscale]
+
+Parity with ``/root/reference/run.py``: input enumeration (single file /
+txt list / SimCol glob / ``frame_*.jpg``), checkpoint prefix fixups,
+``infer_image`` per frame, skip-existing idempotence, min-max colormap
+output with optional side-by-side composite, ``_OP`` output-dir convention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Depth Anything V2 (TPU)")
+    p.add_argument("--encoder", default="vitl",
+                   choices=["vits", "vitb", "vitl", "vitg", "vitt"])
+    p.add_argument("--load-from", required=False, default=None)
+    p.add_argument("--max-depth", type=float, default=20.0)
+    p.add_argument("-i", "--img-path", required=True)
+    p.add_argument("-o", "--outdir", default=None)
+    p.add_argument("--input-size", type=int, default=518)
+    p.add_argument("-d", "--ds_type", default="testing",
+                   choices=["simcol", "testing"])
+    p.add_argument("--save-numpy", action="store_true")
+    p.add_argument("--pred-only", action="store_true")
+    p.add_argument("--grayscale", action="store_true")
+    return p.parse_args(argv)
+
+
+def enumerate_inputs(args) -> list[str]:
+    """run.py:151-187 input enumeration."""
+    filenames: list[str] = []
+    if os.path.isfile(args.img_path):
+        if args.img_path.endswith("txt"):
+            with open(args.img_path, "r", encoding="utf-8") as f:
+                filenames = f.read().splitlines()
+        else:
+            filenames = [args.img_path]
+            if args.outdir is None:
+                args.outdir = str(Path(args.img_path).parent)
+    elif args.ds_type == "simcol":
+        base = Path(args.img_path)
+        for suffix in ["I", "II", "III"]:
+            pattern = f"SyntheticColon_{suffix}/Frames_*/FrameBuffer_*.png"
+            filenames.extend(sorted(glob.glob(str(base / pattern))))
+        if args.outdir is None:
+            args.outdir = str(base)
+    else:
+        base = Path(args.img_path)
+        filenames.extend(sorted(glob.glob(str(base / "frame_*.jpg"))))
+        if args.outdir is None:
+            args.outdir = str(base)
+    return filenames
+
+
+def output_paths(args, filename: str) -> tuple[Path, str]:
+    """run.py:195-230 output layout (incl. the _OP convention)."""
+    base_name = Path(filename).stem
+    if os.path.isfile(args.img_path):
+        return Path(args.outdir), base_name
+    if args.ds_type == "simcol":
+        rel = Path(filename).relative_to(Path(args.img_path))
+        parent = rel.parent
+        return (Path(args.img_path) / parent.parent / f"{parent.name}_OP",
+                base_name)
+    rel = Path(filename).relative_to(Path(args.img_path))
+    return Path(args.outdir) / rel.parent, base_name
+
+
+def main(argv=None) -> None:
+    import cv2
+    import jax
+
+    from ..media.colormap import colorize_depth, side_by_side
+    from ..models.convert import convert_dav2, load_torch_state_dict
+    from ..models.depth_anything import build_depth_model, infer_image
+
+    args = parse_args(argv)
+    model = build_depth_model(args.encoder, max_depth=args.max_depth)
+    if args.load_from:
+        params = convert_dav2(load_torch_state_dict(args.load_from),
+                              args.encoder)
+    else:
+        print("[infer] no --load-from; using random init (smoke mode)")
+        params = model.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 518, 518, 3), np.float32))["params"]
+    params = jax.device_put(params)
+
+    filenames = enumerate_inputs(args)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    skipped = 0
+    for filename in filenames:
+        out_folder, base_name = output_paths(args, filename)
+        npy_path = out_folder / f"{base_name}.npy"
+        png_path = out_folder / f"{base_name}.png"
+        if png_path.exists():
+            skipped += 1
+            continue
+
+        raw = cv2.imread(filename)
+        depth = infer_image(model, params, raw, args.input_size)
+
+        out_folder.mkdir(parents=True, exist_ok=True)
+        if args.save_numpy:
+            np.save(str(npy_path), depth)
+
+        rendered = colorize_depth(depth, grayscale=args.grayscale)
+        if args.pred_only:
+            cv2.imwrite(str(png_path), rendered)
+        else:
+            cv2.imwrite(str(png_path), side_by_side(raw, rendered))
+
+    print("\nProcessing complete:")
+    print(f"- Total files: {len(filenames)}")
+    print(f"- Skipped existing: {skipped}")
+    print(f"- Newly processed: {len(filenames) - skipped}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Depth evaluation CLI — the reference's ``test_lightning.py``.
+
+Usage:
+    CHECKPOINT_PATH=<ckpt> python -m ...cli.test_depth dataset=simcol model=large
+
+Parity with ``/root/reference/test_lightning.py:136-303``:
+- checkpoint from the ``CHECKPOINT_PATH`` env var (torch ``.ckpt``/``.pth``
+  via the weight converter, or an Orbax checkpoint directory);
+- per-procedure metric collection for SimCol (procedure parsed from the
+  ``SyntheticColon_*/Frames_*`` path, ``test_lightning.py:47-111``) with
+  mean/std aggregation, plus overall metrics;
+- JSON results written to ``test_lightning_results/``.
+
+Divergence (documented): per-sample metrics are true per-sample values, not
+the reference's batch-mean-appended-per-sample artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+METRIC_KEYS = ("d1", "abs_rel", "rmse", "l1")
+
+
+def parse_procedure(dataset_field: str) -> str:
+    """SyntheticColon_I/Frames_S1 -> 'SyntheticColon_I/S1' style key
+    (test_lightning.py:156-174 semantics)."""
+    m = re.search(r"(SyntheticColon_(?:I{1,3}))", dataset_field)
+    colon = m.group(1) if m else dataset_field.split("/")[0]
+    m2 = re.search(r"Frames_([SBO]\d+)", dataset_field)
+    frame = m2.group(1) if m2 else dataset_field.split("/")[-1]
+    return f"{colon}/{frame}"
+
+
+def load_params(checkpoint_path: str, encoder: str, task):
+    """torch .ckpt/.pth (converted) or an Orbax checkpoint dir."""
+    from ..models.convert import convert_dav2, load_torch_state_dict
+
+    if os.path.isdir(checkpoint_path):
+        import jax
+
+        from ..core.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_path)
+        size = 518
+        template = task.init_state(jax.random.PRNGKey(0), (size, size))
+        state = mgr.restore_latest(template)
+        if state is None:
+            raise FileNotFoundError(f"no checkpoints in {checkpoint_path}")
+        return state.params
+    state_dict = load_torch_state_dict(checkpoint_path)
+    return convert_dav2(state_dict, encoder)
+
+
+def main(argv: list[str] | None = None) -> None:
+    import jax
+
+    from ..core import config as cfglib
+    from ..core.dtypes import policy_from_precision
+    from ..data.preprocess import DevicePreprocessor
+    from ..train.depth_task import DepthTask
+    from .train_depth import build_datamodule, resolve_max_depth
+
+    argv = sys.argv[1:] if argv is None else argv
+    config_root = os.environ.get("E3D_CONFIG_ROOT", "configs")
+    cfg = cfglib.compose(config_root, "test_config", argv)
+
+    checkpoint_path = os.environ.get("CHECKPOINT_PATH")
+    if not checkpoint_path:
+        raise SystemExit("CHECKPOINT_PATH env var is required "
+                         "(test_lightning.py:150-152)")
+
+    datamodule = build_datamodule(dict(cfg.dataset))
+    datamodule.setup("test")
+
+    max_depth = resolve_max_depth(cfg)
+    combined = cfg.dataset.ds_type == "combined"
+    max_depths = ((float(cfg.model.simcol_max_depth),
+                   float(cfg.model.c3vd_max_depth) / 10.0)
+                  if combined else None)
+
+    task = DepthTask(
+        encoder=cfg.model.encoder,
+        min_depth=float(cfg.model.min_depth),
+        max_depth=max_depth,
+        policy=policy_from_precision(str(cfg.trainer.precision)),
+        grad_checkpoint=False,
+    )
+    params = load_params(checkpoint_path, cfg.model.encoder, task)
+    params = jax.device_put(params)
+
+    pre = DevicePreprocessor(size=datamodule.size)
+    per_proc: dict[str, dict[str, list[float]]] = {}
+    overall: dict[str, list[float]] = {k: [] for k in METRIC_KEYS}
+
+    for batch in datamodule.test_loader():
+        prepped = pre(batch, train=False, max_depths=max_depths)
+        sample_metrics = task.eval_step_per_sample(params, prepped)
+        sample_metrics = {k: np.asarray(v) for k, v in
+                          sample_metrics.items()}
+        for i, ds_field in enumerate(batch["dataset"]):
+            proc = parse_procedure(str(ds_field))
+            bucket = per_proc.setdefault(
+                proc, {k: [] for k in METRIC_KEYS})
+            for k in METRIC_KEYS:
+                val = float(sample_metrics[k][i])
+                bucket[k].append(val)
+                overall[k].append(val)
+
+    results = {
+        "procedure_metrics": {
+            proc: {k: {"mean": float(np.mean(v)), "std": float(np.std(v))}
+                   for k, v in buckets.items()}
+            for proc, buckets in sorted(per_proc.items())
+        },
+        "overall_metrics": {
+            k: {"mean": float(np.mean(v)), "std": float(np.std(v))}
+            for k, v in overall.items()
+        },
+        "checkpoint": checkpoint_path,
+        "encoder": cfg.model.encoder,
+        "ds_type": cfg.dataset.ds_type,
+    }
+
+    print("\n== per-procedure metrics ==")
+    for proc, buckets in sorted(per_proc.items()):
+        line = " ".join(f"{k}={np.mean(v):.6f}" for k, v in buckets.items())
+        print(f"  {proc}: {line}")
+    print("== overall ==")
+    for k, v in overall.items():
+        print(f"  {k}: {np.mean(v):.6f} +- {np.std(v):.6f}")
+
+    out_dir = os.environ.get("E3D_RESULTS_DIR", "test_lightning_results")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir,
+                            f"{cfg.dataset.ds_type}_results.json")
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(results, f, indent=2)
+    print(f"[test_depth] wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

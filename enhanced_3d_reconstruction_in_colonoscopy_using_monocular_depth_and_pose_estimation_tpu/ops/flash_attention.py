@@ -60,7 +60,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
     o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = m + jnp.log(l)  # (BQ, 1)
 
 
 def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
@@ -82,12 +82,12 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
         out_specs=[
             pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), lambda b, i: (b, i),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, np_, d), q3.dtype),
-            jax.ShapeDtypeStruct((bh, np_), jnp.float32),
+            jax.ShapeDtypeStruct((bh, np_, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q3, k3, v3)
@@ -103,8 +103,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)                      # (BQ, D)
-    lse = lse_ref[0][:, None]                               # (BQ, 1)
-    delta = delta_ref[0][:, None]                           # (BQ, 1)
+    lse = lse_ref[0]                                        # (BQ, 1)
+    delta = delta_ref[0]                                    # (BQ, 1)
 
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     n_padded = s.shape[1]
@@ -124,8 +124,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0].astype(jnp.float32)                        # (BK, D)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)                      # (Np, D)
-    lse = lse_ref[0][None, :]                               # (1, Np)
-    delta = delta_ref[0][None, :]                           # (1, Np)
+    lse = lse_ref[0][:, 0][None, :]                         # (1, Np)
+    delta = delta_ref[0][:, 0][None, :]                     # (1, Np)
 
     st = jnp.dot(k, q.T, preferred_element_type=jnp.float32)  # (BK, Np)
     nq = st.shape[1]
@@ -147,15 +147,16 @@ def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
     q3, k3, v3, out, lse = residuals
     bh, np_, d = q3.shape
     do = g.astype(jnp.float32)
-    delta = jnp.sum(do * out.astype(jnp.float32), axis=-1)  # (BH, Np)
+    delta = jnp.sum(do * out.astype(jnp.float32), axis=-1,
+                    keepdims=True)                          # (BH, Np, 1)
 
     full = pl.BlockSpec((1, np_, d), lambda b, i: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0),
                        memory_space=pltpu.VMEM)
-    vec_full = pl.BlockSpec((1, np_), lambda b, i: (b, 0),
+    vec_full = pl.BlockSpec((1, np_, 1), lambda b, i: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    vec_blk = pl.BlockSpec((1, BLOCK_Q), lambda b, i: (b, i),
+    vec_blk = pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
     grid = (bh, np_ // BLOCK_Q)
 

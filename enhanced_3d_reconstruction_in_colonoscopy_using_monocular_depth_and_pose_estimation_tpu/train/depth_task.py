@@ -183,6 +183,11 @@ class DepthTask:
         """batch: dict of (A, mb, ...) arrays; returns (state, metrics)."""
         if self._train_step is None:
             step_fn, batch_spec = self._build_train_step()
+            mb = batch["image"].shape[1]
+            if mb % self.mesh.shape[meshlib.DATA_AXIS] != 0:
+                # Microbatch not divisible by the data axis: replicate
+                # instead of failing (small-batch / debug runs).
+                batch_spec = meshlib.replicated_sharding(self.mesh)
             state_shardings = self.state_shardings(state)
             batch_shardings = {
                 "image": batch_spec, "depth": batch_spec,
@@ -217,6 +222,35 @@ class DepthTask:
 
             self._eval_step = jax.jit(step_fn)
         return self._eval_step(params, batch)
+
+    def eval_step_per_sample(self, params, batch: dict):
+        """Per-sample metrics (for the per-procedure collectors of
+        ``test_lightning.py``). Returns dict of (B,) arrays.
+
+        Note: the reference appends the same *batch-level* metric once per
+        sample (``test_lightning.py:73-109``, a known artifact); this
+        computes true per-sample values.
+        """
+        if not hasattr(self, "_eval_per_sample"):
+            def step_fn(params, batch):
+                pred = self.model.apply({"params": params}, batch["image"])
+                gt = (batch["depth"][..., 0] if batch["depth"].ndim == 4
+                      else batch["depth"])
+                maxd = batch.get(
+                    "max_depth",
+                    jnp.full((batch["image"].shape[0],), self.max_depth,
+                             jnp.float32))
+
+                def one(pred_i, gt_i, maxd_i):
+                    mask = (gt_i >= self.min_depth) & (gt_i <= maxd_i)
+                    m = compute_depth_errors(pred_i, gt_i, mask)
+                    m["loss"] = silog_loss(pred_i, gt_i, mask)
+                    return m
+
+                return jax.vmap(one)(pred, gt, maxd)
+
+            self._eval_per_sample = jax.jit(step_fn)
+        return self._eval_per_sample(params, batch)
 
     def predict(self, params, image: Array) -> Array:
         """image: (B, H, W, 3) normalized -> (B, H, W) depth."""

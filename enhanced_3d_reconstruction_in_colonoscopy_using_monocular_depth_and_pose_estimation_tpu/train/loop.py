@@ -1,0 +1,208 @@
+"""Host-side training loops: epochs, half-epoch validation, best-k
+checkpoints, early stopping, metric logging.
+
+Replaces PyTorch Lightning's Trainer for this workload
+(``/root/reference/main_lightning.py:109-145``): same knobs
+(``max_epochs``, ``val_check_interval=0.5``, ``accumulate_grad_batches``,
+checkpoint-on-val_loss, EarlyStopping patience 20, per-step LR logging),
+but the device never leaves the jitted train/eval steps; the host only
+shuttles batches and reads scalars.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import CheckpointManager, EarlyStopping
+from ..core.logging import MetricLogger
+from ..data.preprocess import DevicePreprocessor
+from .depth_task import DepthTask, DepthTrainState
+
+
+def _group_accum(loader: Iterable[dict], accum: int):
+    """Group ``accum`` consecutive loader batches (Lightning grad-accum
+    semantics); yields lists of batches, dropping a trailing partial group."""
+    group: list[dict] = []
+    for batch in loader:
+        group.append(batch)
+        if len(group) == accum:
+            yield group
+            group = []
+
+
+def fit_depth(
+    task: DepthTask,
+    datamodule,
+    max_epochs: int,
+    log_dir: str,
+    ckpt_dir: str,
+    val_check_interval: float = 0.5,
+    patience: int = 20,
+    logger: MetricLogger | None = None,
+    max_depths: tuple[float, float] | None = None,
+    seed: int = 42,
+    pretrained_params: Any | None = None,
+    max_steps: int | None = None,
+) -> DepthTrainState:
+    """Fine-tune depth; returns the final train state."""
+    datamodule.setup("fit")
+    size = datamodule.size
+    pre = DevicePreprocessor(size=size)
+    logger = logger or MetricLogger(log_dir)
+    ckpt = CheckpointManager(ckpt_dir, max_to_keep=1)
+    stopper = EarlyStopping(patience=patience)
+
+    state = task.init_state(jax.random.PRNGKey(seed), (size, size),
+                            pretrained_params=pretrained_params)
+    rng = jax.random.PRNGKey(seed + 1)
+
+    train_loader = datamodule.train_loader()
+    accum = task.grad_accum
+    steps_per_epoch = max(1, len(train_loader) // accum)
+    val_every = max(1, int(steps_per_epoch * val_check_interval))
+    combined = max_depths is not None
+
+    stop = False
+    for epoch in range(max_epochs):
+        if stop:
+            break
+        t_epoch = time.time()
+        for group in _group_accum(iter(train_loader), accum):
+            rng, prep_rng = jax.random.split(rng)
+            prepped = [
+                pre(b, train=True,
+                    rng=jax.random.fold_in(prep_rng, i),
+                    max_depths=max_depths)
+                for i, b in enumerate(group)
+            ]
+            batch = {
+                k: jnp.stack([p[k] for p in prepped])
+                for k in ("image", "depth")
+            }
+            if combined:
+                batch["max_depth"] = jnp.stack(
+                    [p["max_depth"] for p in prepped])
+            state, metrics = task.train_step(state, batch)
+            step = int(state.step)
+            logger.log({"train_loss": metrics["loss"],
+                        **{f"Train/train_{k}": metrics[k]
+                           for k in ("d1", "abs_rel", "rmse", "l1")},
+                        "epoch": epoch}, step=step)
+
+            if step % val_every == 0 or (max_steps and step >= max_steps):
+                val_metrics = evaluate_depth(
+                    task, state.params, datamodule.val_loader(), pre,
+                    max_depths=max_depths)
+                logger.log({"val_loss": val_metrics["loss"],
+                            **{f"Val/val_{k}": val_metrics[k]
+                               for k in ("d1", "abs_rel", "rmse", "l1")}},
+                           step=step, force_stdout=True)
+                ckpt.save(step, state,
+                          {"val_loss": float(val_metrics["loss"])})
+                if stopper.update(float(val_metrics["loss"])):
+                    print(f"[early-stop] val_loss plateaued "
+                          f"(best {stopper.best:.5f})")
+                    stop = True
+                    break
+            if max_steps and step >= max_steps:
+                stop = True
+                break
+        print(f"[epoch {epoch}] {time.time() - t_epoch:.1f}s")
+    ckpt.close()
+    return state
+
+
+def evaluate_depth(task: DepthTask, params, loader, pre: DevicePreprocessor,
+                   max_depths=None) -> dict[str, float]:
+    """Mean metrics over a loader (weighting each batch equally, like the
+    reference's MeanMetric over per-batch values)."""
+    sums: dict[str, float] = {}
+    count = 0
+    for batch in loader:
+        prepped = pre(batch, train=False, max_depths=max_depths)
+        metrics = task.eval_step(params, prepped)
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        count += 1
+    return {k: v / max(count, 1) for k, v in sums.items()}
+
+
+def fit_pose(
+    task,
+    datamodule,
+    max_epochs: int,
+    log_dir: str,
+    ckpt_dir: str,
+    patience: int = 20,
+    logger: MetricLogger | None = None,
+    seed: int = 42,
+    max_steps: int | None = None,
+):
+    """Train the pose regressor; returns the final state.
+
+    Validation runs once per epoch (reference pose config has no
+    val_check_interval); epoch end also evaluates the buffered full
+    trajectory (``pose_estimation_model.py:241-293``).
+    """
+    from .pose_task import PoseTask
+
+    assert isinstance(task, PoseTask)
+    datamodule.setup("fit")
+    logger = logger or MetricLogger(log_dir)
+    ckpt = CheckpointManager(ckpt_dir, max_to_keep=1)
+    stopper = EarlyStopping(patience=patience)
+
+    size = datamodule.size
+    state = task.init_state(jax.random.PRNGKey(seed), (size, size))
+
+    stop = False
+    for epoch in range(max_epochs):
+        if stop:
+            break
+        for batch in datamodule.train_loader():
+            jbatch = {"input": jnp.asarray(batch["input"]),
+                      "target": jnp.asarray(batch["target"])}
+            state, metrics = task.train_step(state, jbatch)
+            step = int(state.step)
+            logger.log({"train_loss": metrics["loss"],
+                        **{f"Train/train_{k}": metrics[k]
+                           for k in ("ate", "rte", "rote")},
+                        "epoch": epoch}, step=step)
+            if max_steps and step >= max_steps:
+                stop = True
+                break
+
+        # epoch-end validation + full-trajectory metrics
+        val_sums: dict[str, float] = {}
+        n_batches = 0
+        preds, gts = [], []
+        for batch in datamodule.val_loader():
+            jbatch = {"input": jnp.asarray(batch["input"]),
+                      "target": jnp.asarray(batch["target"])}
+            metrics, pred = task.eval_step(state, jbatch)
+            preds.append(np.asarray(pred))
+            gts.append(np.asarray(batch["target"]))
+            for k, v in metrics.items():
+                val_sums[k] = val_sums.get(k, 0.0) + float(v)
+            n_batches += 1
+        val = {k: v / max(n_batches, 1) for k, v in val_sums.items()}
+        if preds:
+            traj = task.trajectory_metrics(
+                jnp.asarray(np.concatenate(preds)),
+                jnp.asarray(np.concatenate(gts)))
+            val.update({f"traj_{k}": float(v) for k, v in traj.items()})
+        step = int(state.step)
+        logger.log({"val_loss": val.get("loss", float("nan")),
+                    **{f"Val/val_{k}": v for k, v in val.items()
+                       if k != "loss"}}, step=step, force_stdout=True)
+        ckpt.save(step, state, {"val_loss": float(val.get("loss", 1e9))})
+        if stopper.update(float(val.get("loss", 1e9))):
+            print(f"[early-stop] val_loss plateaued (best {stopper.best:.5f})")
+            break
+    ckpt.close()
+    return state

@@ -102,7 +102,11 @@ class PoseTask:
                                            state.step + 1, state.rng)
                 return new_state, metrics
 
-            data_sh = meshlib.batch_sharding(self.mesh)
+            if (batch["input"].shape[0]
+                    % self.mesh.shape[meshlib.DATA_AXIS] == 0):
+                data_sh = meshlib.batch_sharding(self.mesh)
+            else:  # small/debug batches: replicate rather than fail
+                data_sh = meshlib.replicated_sharding(self.mesh)
             self._train_step = jax.jit(
                 step_fn, donate_argnums=(0,),
                 in_shardings=(None, {"input": data_sh, "target": data_sh}),

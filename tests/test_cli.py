@@ -1,0 +1,116 @@
+"""End-to-end CLI smoke tests on synthetic fixtures (CPU, tiny model)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import e3d_tpu  # noqa: F401
+from e3d_tpu.data.synthetic import make_simcol_fixture
+
+CONFIG_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+
+@pytest.fixture(scope="module")
+def simcol_root(tmp_path_factory):
+    return make_simcol_fixture(str(tmp_path_factory.mktemp("simcol")),
+                               n_procedures=2, frames_per_proc=6, hw=64)
+
+
+def _dataset_overrides(root):
+    return [
+        f"dataset.data_dir={root}",
+        f"dataset.train_list={root}/train.txt",
+        f"dataset.val_list={root}/val.txt",
+        f"dataset.test_list={root}/test.txt",
+        "dataset.batch_size=2",
+        "dataset.num_workers=2",
+        "dataset.size=56",
+    ]
+
+
+def test_train_depth_cli_smoke(simcol_root, tmp_path, monkeypatch):
+    from e3d_tpu.cli import train_depth
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("E3D_CONFIG_ROOT", CONFIG_ROOT)
+    train_depth.main(_dataset_overrides(simcol_root) + [
+        "model.encoder=vitt",
+        "model.use_checkpoint=false",
+        "trainer.max_epochs=1",
+        "trainer.accumulate_grad_batches=1",
+        "trainer.precision=32-true",
+        "++trainer.max_steps=2",
+    ])
+    # run-dir snapshot + metrics + checkpoint exist
+    exp_dirs = list((tmp_path / "configs" / "experiments" / "simcol").iterdir())
+    assert exp_dirs, "run dir missing"
+    assert (exp_dirs[0] / ".hydra" / "config.yaml").exists()
+    assert (exp_dirs[0] / "metrics.jsonl").exists()
+    ckpts = list((tmp_path / "checkpoints" / "simcol").rglob("*"))
+    assert ckpts, "checkpoint missing"
+
+
+def test_test_depth_cli_smoke(simcol_root, tmp_path, monkeypatch):
+    """Test CLI with a converted torch-format checkpoint."""
+    from e3d_tpu.cli import test_depth
+    from e3d_tpu.models.convert import synthetic_dav2_state_dict
+
+    import torch
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("E3D_CONFIG_ROOT", CONFIG_ROOT)
+    # Build a torch-style .pth with the Lightning "model." prefix.
+    state = {f"model.{k}": torch.tensor(v)
+             for k, v in synthetic_dav2_state_dict("vitt").items()}
+    ckpt_path = tmp_path / "ckpt.pth"
+    torch.save({"state_dict": state}, ckpt_path)
+    monkeypatch.setenv("CHECKPOINT_PATH", str(ckpt_path))
+
+    test_depth.main(_dataset_overrides(simcol_root) + [
+        "model.encoder=vitt",
+        "trainer.precision=32-true",
+    ])
+    out = tmp_path / "test_lightning_results" / "simcol_results.json"
+    assert out.exists()
+    results = json.loads(out.read_text())
+    assert "overall_metrics" in results and "procedure_metrics" in results
+    assert np.isfinite(results["overall_metrics"]["abs_rel"]["mean"])
+    assert any("SyntheticColon_I" in k for k in results["procedure_metrics"])
+
+
+def test_train_pose_cli_smoke(simcol_root, tmp_path, monkeypatch):
+    from e3d_tpu.cli import train_pose
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("E3D_CONFIG_ROOT", CONFIG_ROOT)
+    train_pose.main(_dataset_overrides(simcol_root) + [
+        "trainer.max_epochs=1",
+        "++trainer.max_steps=2",
+    ])
+    out = tmp_path / "test_lightning_results" / "pose_results.json"
+    assert out.exists()
+    results = json.loads(out.read_text())
+    assert "overall_metrics" in results
+    assert np.isfinite(results["overall_metrics"]["ate"])
+
+
+def test_infer_cli_smoke(simcol_root, tmp_path, monkeypatch):
+    from e3d_tpu.cli import infer
+
+    monkeypatch.chdir(tmp_path)
+    img_dir = os.path.join(simcol_root, "SyntheticColon_I", "Frames_S1")
+    # single-file mode
+    single = os.path.join(img_dir, "FrameBuffer_0000.png")
+    infer.main(["--encoder", "vitt", "-i", single, "-o", str(tmp_path / "out"),
+                "--input-size", "56", "--save-numpy"])
+    assert (tmp_path / "out" / "FrameBuffer_0000.png").exists()
+    assert (tmp_path / "out" / "FrameBuffer_0000.npy").exists()
+    depth = np.load(tmp_path / "out" / "FrameBuffer_0000.npy")
+    assert depth.shape == (64, 64)
+    assert np.isfinite(depth).all()
+    # skip-existing idempotence (run.py:224-230)
+    infer.main(["--encoder", "vitt", "-i", single, "-o", str(tmp_path / "out"),
+                "--input-size", "56"])
