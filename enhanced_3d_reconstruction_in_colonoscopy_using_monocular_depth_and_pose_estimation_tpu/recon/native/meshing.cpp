@@ -1,0 +1,337 @@
+// Native reconstruction kernels: KD-tree k-NN normal estimation and
+// marching-tetrahedra isosurface extraction.
+//
+// TPU-native replacement for the Open3D C++ calls the reference makes
+// (/root/reference/depth_to_pointcloud.py:245-281: estimate_normals with
+// KDTreeSearchParamHybrid(radius, max_nn), Poisson meshing). The indicator
+// field for meshing is solved on-TPU with an FFT Poisson solver
+// (recon/poisson.py); this module handles the irregular, pointer-chasing
+// parts that do not map to the MXU: neighbor search, covariance PCA, and
+// isosurface triangle extraction.
+//
+// C API (ctypes-friendly), no external dependencies.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+struct KDNode {
+  int32_t left = -1, right = -1;
+  int32_t begin = 0, end = 0;  // leaf range into indices
+  int8_t axis = -1;            // -1 => leaf
+  float split = 0.f;
+};
+
+struct KDTree {
+  const float* pts;  // (n, 3)
+  std::vector<int32_t> indices;
+  std::vector<KDNode> nodes;
+
+  explicit KDTree(const float* p, int64_t n) : pts(p), indices(n) {
+    std::iota(indices.begin(), indices.end(), 0);
+    nodes.reserve(2 * n / 16 + 8);
+    build(0, static_cast<int32_t>(n));
+  }
+
+  int32_t build(int32_t begin, int32_t end) {
+    int32_t node_id = static_cast<int32_t>(nodes.size());
+    nodes.emplace_back();
+    if (end - begin <= 16) {
+      nodes[node_id].begin = begin;
+      nodes[node_id].end = end;
+      return node_id;
+    }
+    // pick widest axis
+    float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
+    for (int32_t i = begin; i < end; ++i) {
+      const float* q = pts + 3 * indices[i];
+      for (int a = 0; a < 3; ++a) {
+        lo[a] = std::min(lo[a], q[a]);
+        hi[a] = std::max(hi[a], q[a]);
+      }
+    }
+    int axis = 0;
+    float width = hi[0] - lo[0];
+    for (int a = 1; a < 3; ++a)
+      if (hi[a] - lo[a] > width) { width = hi[a] - lo[a]; axis = a; }
+    int32_t mid = (begin + end) / 2;
+    std::nth_element(indices.begin() + begin, indices.begin() + mid,
+                     indices.begin() + end,
+                     [&](int32_t a, int32_t b) {
+                       return pts[3 * a + axis] < pts[3 * b + axis];
+                     });
+    float split = pts[3 * indices[mid] + axis];
+    nodes[node_id].axis = static_cast<int8_t>(axis);
+    nodes[node_id].split = split;
+    int32_t l = build(begin, mid);
+    int32_t r = build(mid, end);
+    nodes[node_id].left = l;
+    nodes[node_id].right = r;
+    return node_id;
+  }
+
+  // Hybrid search: neighbors within `radius`, keeping at most `max_nn`
+  // nearest (Open3D KDTreeSearchParamHybrid semantics).
+  void hybrid(const float* q, float radius, int max_nn,
+              std::vector<std::pair<float, int32_t>>& heap) const {
+    heap.clear();
+    const float r2 = radius * radius;
+    search(0, q, r2, max_nn, heap);
+  }
+
+  void search(int32_t node_id, const float* q, float r2, int max_nn,
+              std::vector<std::pair<float, int32_t>>& heap) const {
+    const KDNode& node = nodes[node_id];
+    if (node.axis < 0) {
+      for (int32_t i = node.begin; i < node.end; ++i) {
+        const float* p = pts + 3 * indices[i];
+        float dx = p[0] - q[0], dy = p[1] - q[1], dz = p[2] - q[2];
+        float d2 = dx * dx + dy * dy + dz * dz;
+        float bound = heap.size() == static_cast<size_t>(max_nn)
+                          ? heap.front().first : r2;
+        if (d2 <= r2 && (heap.size() < static_cast<size_t>(max_nn)
+                         || d2 < bound)) {
+          if (heap.size() == static_cast<size_t>(max_nn)) {
+            std::pop_heap(heap.begin(), heap.end());
+            heap.pop_back();
+          }
+          heap.emplace_back(d2, indices[i]);
+          std::push_heap(heap.begin(), heap.end());
+        }
+      }
+      return;
+    }
+    float delta = q[node.axis] - node.split;
+    int32_t near = delta <= 0 ? node.left : node.right;
+    int32_t far = delta <= 0 ? node.right : node.left;
+    search(near, q, r2, max_nn, heap);
+    float bound = heap.size() == static_cast<size_t>(max_nn)
+                      ? heap.front().first : r2;
+    if (delta * delta <= bound) search(far, q, r2, max_nn, heap);
+  }
+};
+
+// Smallest-eigenvalue eigenvector of a symmetric 3x3 via Jacobi sweeps.
+void smallest_eigvec(double m[3][3], float out[3]) {
+  double v[3][3] = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
+  for (int sweep = 0; sweep < 16; ++sweep) {
+    double off = std::abs(m[0][1]) + std::abs(m[0][2]) + std::abs(m[1][2]);
+    if (off < 1e-14) break;
+    for (int p = 0; p < 2; ++p) {
+      for (int q = p + 1; q < 3; ++q) {
+        if (std::abs(m[p][q]) < 1e-18) continue;
+        double theta = (m[q][q] - m[p][p]) / (2.0 * m[p][q]);
+        double t = (theta >= 0 ? 1.0 : -1.0) /
+                   (std::abs(theta) + std::sqrt(theta * theta + 1.0));
+        double c = 1.0 / std::sqrt(t * t + 1.0), s = t * c;
+        for (int k = 0; k < 3; ++k) {
+          double mkp = m[k][p], mkq = m[k][q];
+          m[k][p] = c * mkp - s * mkq;
+          m[k][q] = s * mkp + c * mkq;
+        }
+        for (int k = 0; k < 3; ++k) {
+          double mpk = m[p][k], mqk = m[q][k];
+          m[p][k] = c * mpk - s * mqk;
+          m[q][k] = s * mpk + c * mqk;
+        }
+        for (int k = 0; k < 3; ++k) {
+          double vkp = v[k][p], vkq = v[k][q];
+          v[k][p] = c * vkp - s * vkq;
+          v[k][q] = s * vkp + c * vkq;
+        }
+      }
+    }
+  }
+  int best = 0;
+  if (m[1][1] < m[best][best]) best = 1;
+  if (m[2][2] < m[best][best]) best = 2;
+  double norm = std::sqrt(v[0][best] * v[0][best] + v[1][best] * v[1][best] +
+                          v[2][best] * v[2][best]);
+  if (norm < 1e-20) norm = 1.0;
+  for (int k = 0; k < 3; ++k)
+    out[k] = static_cast<float>(v[k][best] / norm);
+}
+
+}  // namespace
+
+extern "C" {
+
+// PCA normals with Open3D hybrid-search semantics.
+// points: (n, 3) f32; out_normals: (n, 3) f32 (unoriented).
+void e3d_estimate_normals(const float* points, int64_t n, float radius,
+                          int max_nn, float* out_normals) {
+  KDTree tree(points, n);
+  std::vector<std::pair<float, int32_t>> heap;
+  heap.reserve(max_nn + 1);
+  for (int64_t i = 0; i < n; ++i) {
+    tree.hybrid(points + 3 * i, radius, max_nn, heap);
+    if (heap.size() < 3) {
+      out_normals[3 * i + 0] = 0.f;
+      out_normals[3 * i + 1] = 0.f;
+      out_normals[3 * i + 2] = 1.f;
+      continue;
+    }
+    double mean[3] = {0, 0, 0};
+    for (auto& pr : heap) {
+      const float* p = points + 3 * pr.second;
+      mean[0] += p[0]; mean[1] += p[1]; mean[2] += p[2];
+    }
+    double inv = 1.0 / heap.size();
+    mean[0] *= inv; mean[1] *= inv; mean[2] *= inv;
+    double cov[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+    for (auto& pr : heap) {
+      const float* p = points + 3 * pr.second;
+      double d[3] = {p[0] - mean[0], p[1] - mean[1], p[2] - mean[2]};
+      for (int a = 0; a < 3; ++a)
+        for (int b = 0; b < 3; ++b) cov[a][b] += d[a] * d[b];
+    }
+    smallest_eigvec(cov, out_normals + 3 * i);
+  }
+}
+
+// ---------------------------------------------------------------- meshing
+
+namespace mt {
+
+struct Mesh {
+  std::vector<float> verts;
+  std::vector<int32_t> tris;
+};
+
+inline int64_t gid(int ix, int iy, int iz, int ny, int nz) {
+  return (static_cast<int64_t>(ix) * ny + iy) * nz + iz;
+}
+
+// Interpolated vertex on the edge between grid corners a and b.
+int32_t edge_vertex(Mesh& mesh, const float* fa, const float* fb,
+                    float va, float vb, float iso) {
+  float t = (std::abs(vb - va) > 1e-12f) ? (iso - va) / (vb - va) : 0.5f;
+  t = std::min(std::max(t, 0.f), 1.f);
+  mesh.verts.push_back(fa[0] + t * (fb[0] - fa[0]));
+  mesh.verts.push_back(fa[1] + t * (fb[1] - fa[1]));
+  mesh.verts.push_back(fa[2] + t * (fb[2] - fa[2]));
+  return static_cast<int32_t>(mesh.verts.size() / 3 - 1);
+}
+
+// Emit triangles for one tetrahedron (marching tetrahedra).
+void do_tet(Mesh& mesh, const float p[4][3], const float v[4], float iso) {
+  int mask = 0;
+  for (int i = 0; i < 4; ++i)
+    if (v[i] < iso) mask |= 1 << i;
+  if (mask == 0 || mask == 15) return;
+
+  auto ev = [&](int a, int b) {
+    return edge_vertex(mesh, p[a], p[b], v[a], v[b], iso);
+  };
+  auto tri = [&](int32_t a, int32_t b, int32_t c) {
+    mesh.tris.push_back(a); mesh.tris.push_back(b); mesh.tris.push_back(c);
+  };
+
+  switch (mask) {
+    case 1:  tri(ev(0, 1), ev(0, 2), ev(0, 3)); break;
+    case 14: tri(ev(0, 1), ev(0, 3), ev(0, 2)); break;
+    case 2:  tri(ev(1, 0), ev(1, 3), ev(1, 2)); break;
+    case 13: tri(ev(1, 0), ev(1, 2), ev(1, 3)); break;
+    case 4:  tri(ev(2, 0), ev(2, 1), ev(2, 3)); break;
+    case 11: tri(ev(2, 0), ev(2, 3), ev(2, 1)); break;
+    case 8:  tri(ev(3, 0), ev(3, 2), ev(3, 1)); break;
+    case 7:  tri(ev(3, 0), ev(3, 1), ev(3, 2)); break;
+    case 3: {  // verts 0,1 inside
+      int32_t a = ev(0, 2), b = ev(0, 3), c = ev(1, 3), d = ev(1, 2);
+      tri(a, c, b); tri(a, d, c); break;
+    }
+    case 12: {
+      int32_t a = ev(0, 2), b = ev(0, 3), c = ev(1, 3), d = ev(1, 2);
+      tri(a, b, c); tri(a, c, d); break;
+    }
+    case 5: {  // verts 0,2 inside
+      int32_t a = ev(0, 1), b = ev(0, 3), c = ev(2, 3), d = ev(2, 1);
+      tri(a, b, c); tri(a, c, d); break;
+    }
+    case 10: {
+      int32_t a = ev(0, 1), b = ev(0, 3), c = ev(2, 3), d = ev(2, 1);
+      tri(a, c, b); tri(a, d, c); break;
+    }
+    case 6: {  // verts 1,2 inside
+      int32_t a = ev(1, 0), b = ev(1, 3), c = ev(2, 3), d = ev(2, 0);
+      tri(a, c, b); tri(a, d, c); break;
+    }
+    case 9: {
+      int32_t a = ev(1, 0), b = ev(1, 3), c = ev(2, 3), d = ev(2, 0);
+      tri(a, b, c); tri(a, c, d); break;
+    }
+  }
+}
+
+}  // namespace mt
+
+// Marching tetrahedra over a (nx, ny, nz) scalar field (z fastest).
+// origin/spacing map grid indices to world coordinates.
+// Returns 0 on success; outputs are malloc'd — free with e3d_free.
+int e3d_marching_tetrahedra(const float* field, int nx, int ny, int nz,
+                            float iso, const float* origin, float spacing,
+                            float** out_verts, int64_t* out_n_verts,
+                            int32_t** out_tris, int64_t* out_n_tris) {
+  mt::Mesh mesh;
+  // 6-tetrahedra decomposition of the cube (consistent diagonal 0-6).
+  static const int tets[6][4] = {
+      {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
+      {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
+  // cube corner offsets (x, y, z)
+  static const int corner[8][3] = {
+      {0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
+      {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1}};
+
+  for (int ix = 0; ix + 1 < nx; ++ix) {
+    for (int iy = 0; iy + 1 < ny; ++iy) {
+      for (int iz = 0; iz + 1 < nz; ++iz) {
+        float cv[8];
+        float cp[8][3];
+        bool any_lo = false, any_hi = false;
+        for (int c = 0; c < 8; ++c) {
+          int jx = ix + corner[c][0], jy = iy + corner[c][1],
+              jz = iz + corner[c][2];
+          cv[c] = field[mt::gid(jx, jy, jz, ny, nz)];
+          (cv[c] < iso ? any_lo : any_hi) = true;
+          cp[c][0] = origin[0] + spacing * jx;
+          cp[c][1] = origin[1] + spacing * jy;
+          cp[c][2] = origin[2] + spacing * jz;
+        }
+        if (!any_lo || !any_hi) continue;
+        for (const auto& tet : tets) {
+          float p[4][3], v[4];
+          for (int i = 0; i < 4; ++i) {
+            std::memcpy(p[i], cp[tet[i]], sizeof(float) * 3);
+            v[i] = cv[tet[i]];
+          }
+          mt::do_tet(mesh, p, v, iso);
+        }
+      }
+    }
+  }
+
+  *out_n_verts = static_cast<int64_t>(mesh.verts.size() / 3);
+  *out_n_tris = static_cast<int64_t>(mesh.tris.size() / 3);
+  *out_verts = static_cast<float*>(std::malloc(mesh.verts.size() *
+                                               sizeof(float)));
+  *out_tris = static_cast<int32_t*>(std::malloc(mesh.tris.size() *
+                                                sizeof(int32_t)));
+  if ((!*out_verts && !mesh.verts.empty()) ||
+      (!*out_tris && !mesh.tris.empty()))
+    return 1;
+  std::memcpy(*out_verts, mesh.verts.data(),
+              mesh.verts.size() * sizeof(float));
+  std::memcpy(*out_tris, mesh.tris.data(),
+              mesh.tris.size() * sizeof(int32_t));
+  return 0;
+}
+
+void e3d_free(void* ptr) { std::free(ptr); }
+
+}  // extern "C"

@@ -1,0 +1,137 @@
+"""Poisson surface reconstruction: TPU FFT indicator + native isosurface.
+
+Replaces Open3D ``create_from_point_cloud_poisson(depth=9)`` + 5%-density
+vertex pruning (``/root/reference/depth_to_pointcloud.py:245-281``) with a
+TPU-first pipeline (Fourier formulation of Poisson reconstruction,
+Kazhdan 2005 — the spectral solution of the same PDE the octree solver
+discretizes):
+
+1. splat oriented normals into a regular vector field V (trilinear
+   scatter-add, one jitted program);
+2. solve the Poisson equation  laplacian(chi) = div(V)  spectrally:
+   ``chi_hat = i k . V_hat / -|k|^2`` with Gaussian regularization — the
+   FFTs run on TPU;
+3. iso level = mean indicator value at the input samples (trilinear
+   gather, as in the paper);
+4. extract the isosurface with the native marching-tetrahedra kernel
+   (``recon/native``) and prune vertices whose local sample density falls
+   below a percentile (the reference's ``densities < percentile(5)`` step).
+
+``grid_depth`` plays the role of Open3D's octree depth: grid size 2^depth.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _splat(points01: Array, normals: Array, grid: int):
+    """Trilinear scatter of normals (and unit weights) onto a grid^3 field.
+
+    points01: (N, 3) in [0, 1]. Returns (V (3, G, G, G), W (G, G, G))."""
+    pos = points01 * (grid - 1)
+    base = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - base
+    base = jnp.clip(base, 0, grid - 2)
+
+    field = jnp.zeros((3, grid, grid, grid), jnp.float32)
+    weight = jnp.zeros((grid, grid, grid), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
+                     * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
+                     * jnp.where(dz, frac[:, 2], 1 - frac[:, 2]))
+                ix = base[:, 0] + dx
+                iy = base[:, 1] + dy
+                iz = base[:, 2] + dz
+                weight = weight.at[ix, iy, iz].add(w)
+                field = field.at[:, ix, iy, iz].add(
+                    (normals * w[:, None]).T)
+    return field, weight
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _solve_poisson(field: Array, grid: int, smooth_sigma: float = 1.5):
+    """chi from the normal field via spectral Poisson solve."""
+    kx = jnp.fft.fftfreq(grid)[:, None, None] * 2 * jnp.pi
+    ky = jnp.fft.fftfreq(grid)[None, :, None] * 2 * jnp.pi
+    kz = jnp.fft.rfftfreq(grid)[None, None, :] * 2 * jnp.pi
+    vx = jnp.fft.rfftn(field[0])
+    vy = jnp.fft.rfftn(field[1])
+    vz = jnp.fft.rfftn(field[2])
+    k2 = kx * kx + ky * ky + kz * kz
+    gauss = jnp.exp(-0.5 * (smooth_sigma ** 2) * k2)
+    div_hat = 1j * (kx * vx + ky * vy + kz * vz) * gauss
+    chi_hat = jnp.where(k2 > 0, div_hat / -jnp.maximum(k2, 1e-12), 0.0)
+    return jnp.fft.irfftn(chi_hat, s=(grid, grid, grid))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _trilinear_gather(volume: Array, points01: Array, grid: int) -> Array:
+    pos = points01 * (grid - 1)
+    base = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, grid - 2)
+    frac = pos - base
+    out = jnp.zeros((points01.shape[0],), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
+                     * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
+                     * jnp.where(dz, frac[:, 2], 1 - frac[:, 2]))
+                out = out + w * volume[base[:, 0] + dx, base[:, 1] + dy,
+                                       base[:, 2] + dz]
+    return out
+
+
+def poisson_mesh(points: np.ndarray, normals: np.ndarray,
+                 grid_depth: int = 7, smooth_sigma: float = 1.5,
+                 density_percentile: float = 5.0, padding: float = 0.05):
+    """Oriented point cloud -> (verts (V, 3), tris (T, 3)).
+
+    grid_depth: grid = 2^depth per axis (Open3D octree-depth analog; the
+    reference uses 9 — memory beware on CPU, 7-8 is usually plenty).
+    density_percentile: prune vertices whose splat density is below this
+    percentile (reference removes 5%).
+    """
+    from .native import marching_tetrahedra
+
+    points = np.asarray(points, np.float32)
+    normals = np.asarray(normals, np.float32)
+    grid = 1 << grid_depth
+
+    lo = points.min(axis=0)
+    hi = points.max(axis=0)
+    extent = float((hi - lo).max()) or 1.0
+    lo = lo - padding * extent
+    extent = extent * (1 + 2 * padding)
+    points01 = (points - lo) / extent
+
+    field, weight = _splat(jnp.asarray(points01), jnp.asarray(normals), grid)
+    chi = _solve_poisson(field, grid, smooth_sigma)
+    iso = float(jnp.mean(_trilinear_gather(chi, jnp.asarray(points01), grid)))
+
+    chi_np = np.asarray(chi)
+    spacing = extent / (grid - 1)
+    verts, tris = marching_tetrahedra(chi_np, iso, lo, spacing)
+    if len(verts) == 0:
+        return verts, tris
+
+    if density_percentile > 0:
+        verts01 = (verts - lo) / extent
+        dens = np.asarray(_trilinear_gather(weight, jnp.asarray(verts01),
+                                            grid))
+        keep = dens >= np.percentile(dens, density_percentile)
+        remap = -np.ones(len(verts), np.int64)
+        remap[keep] = np.arange(int(keep.sum()))
+        tri_keep = keep[tris].all(axis=1)
+        tris = remap[tris[tri_keep]].astype(np.int32)
+        verts = verts[keep]
+    return verts, tris
