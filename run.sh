@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Sample commands (mirrors the reference's run.sh usage patterns).
+PKG=enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu
+
+# Train depth (dataset options: simcol, c3vd, combined)
+python -m $PKG.cli.train_depth dataset=c3vd model=large \
+    dataset.batch_size=12 model.encoder_lr=5e-6 model.decoder_lr=5e-5 \
+    trainer.max_epochs=20
+
+# Test depth
+CHECKPOINT_PATH="./checkpoints/simcol/mvitl_el5e-06_dl5e-05_b6_e30_dsimcol_p0.05" \
+python -m $PKG.cli.test_depth dataset=simcol model=large dataset.batch_size=20
+
+# Train + test pose
+python -m $PKG.cli.train_pose model.lr=1e-4 trainer.max_epochs=30
+
+# Generate predicted depth maps (+ npy) for a dataset
+python -m $PKG.cli.infer --encoder vitl \
+    --load-from ./checkpoints/best.ckpt --max-depth 20 \
+    -i datasets/SyntheticColon -d simcol --pred-only --grayscale
+
+# Point cloud + Poisson mesh from predicted depths + GT poses
+python -m $PKG.cli.pointcloud -i datasets/SyntheticColon -o recon_out/
+
+# Per-frame point clouds straight from the model
+python -m $PKG.cli.pointcloud_model --encoder vitl \
+    --load-from ./checkpoints/best.ckpt --max-depth 20 \
+    -i datasets/SyntheticColon -o recon_frames/
+
+# Video tools
+python -m $PKG.cli.video_to_images --config configs/video_to_image_config.yaml
+python -m $PKG.cli.convert_video input.avi -o output.mp4
+
+# Offline evaluation
+python -m $PKG.cli.eval_depth_offline --input-path datasets/SyntheticColon/
+python -m $PKG.cli.calc_metrics --dataset-root datasets/SyntheticColon/
+python -m $PKG.cli.calc_stats --ds simcol \
+    --data-dir datasets/SyntheticColon --train-list datasets/SyntheticColon/train.txt
