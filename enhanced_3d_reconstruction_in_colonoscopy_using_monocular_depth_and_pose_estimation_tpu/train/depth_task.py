@@ -223,6 +223,37 @@ class DepthTask:
             self._eval_step = jax.jit(step_fn)
         return self._eval_step(params, batch)
 
+    def eval_step_combined(self, params, batch: dict):
+        """Per-source metrics for combined SimCol+C3VD eval.
+
+        Mirrors ``lightning_model_combined.py:199-217,372-391``: separate
+        metric collections with ``SimCol/`` and ``C3VD/`` prefixes; C3VD
+        l1/rmse are scaled x10 back to mm (training happens in the /10 cm
+        convention).
+        """
+        if not hasattr(self, "_eval_combined"):
+            def step_fn(params, batch):
+                pred = self.model.apply({"params": params}, batch["image"])
+                gt = batch["depth"][..., 0]
+                maxd = batch["max_depth"][:, None, None]
+                mask = (gt >= self.min_depth) & (gt <= maxd)
+                source = batch["source"][:, None, None]
+                out = {"loss": silog_loss(pred, gt, mask)}
+                for name, sid in (("SimCol", 0), ("C3VD", 1)):
+                    m = mask & (source == sid)
+                    metrics = compute_depth_errors(pred, gt, m)
+                    scale = 10.0 if sid == 1 else 1.0
+                    out[f"{name}/l1"] = metrics["l1"] * scale
+                    out[f"{name}/rmse"] = metrics["rmse"] * scale
+                    out[f"{name}/abs_rel"] = metrics["abs_rel"]
+                    out[f"{name}/d1"] = metrics["d1"]
+                    out[f"{name}/count"] = jnp.sum(
+                        batch["source"] == sid).astype(jnp.float32)
+                return out
+
+            self._eval_combined = jax.jit(step_fn)
+        return self._eval_combined(params, batch)
+
     def eval_step_per_sample(self, params, batch: dict):
         """Per-sample metrics (for the per-procedure collectors of
         ``test_lightning.py``). Returns dict of (B,) arrays.
