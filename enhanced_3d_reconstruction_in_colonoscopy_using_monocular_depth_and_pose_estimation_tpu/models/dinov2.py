@@ -37,7 +37,7 @@ VIT_ARCHS: dict[str, dict[str, int]] = {
     "vitl": dict(embed_dim=1024, depth=24, num_heads=16),
     "vitg": dict(embed_dim=1536, depth=40, num_heads=24),
     # tiny config for tests / dry runs (not in the reference)
-    "vitt": dict(embed_dim=64, depth=2, num_heads=2),
+    "vitt": dict(embed_dim=64, depth=4, num_heads=2),
 }
 
 # DAv2 feature-tap indices per encoder size.
@@ -46,7 +46,7 @@ INTERMEDIATE_LAYER_IDX: dict[str, list[int]] = {
     "vitb": [2, 5, 8, 11],
     "vitl": [4, 11, 17, 23],
     "vitg": [9, 19, 29, 39],
-    "vitt": [0, 0, 1, 1],
+    "vitt": [0, 1, 2, 3],
 }
 
 PATCH_SIZE = 14

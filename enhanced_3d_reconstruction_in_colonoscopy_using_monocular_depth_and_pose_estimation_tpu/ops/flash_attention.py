@@ -45,11 +45,13 @@ def _use_interpret() -> bool:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 n_valid: int):
-    q = q_ref[0].astype(jnp.float32) * scale               # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)                       # (Np, D)
-    v = v_ref[0].astype(jnp.float32)                       # (Np, D)
+    # Keep inputs in their storage dtype (bf16 on the hot path): the MXU
+    # runs bf16 x bf16 -> f32 at full rate; upcasting first would quarter it.
+    q = q_ref[0]                                           # (BQ, D)
+    k = k_ref[0]                                           # (Np, D)
+    v = v_ref[0]                                           # (Np, D)
 
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, Np)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (BQ, Np)
     n_padded = s.shape[1]
     if n_valid < n_padded:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -58,7 +60,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     m = jnp.max(s, axis=1, keepdims=True)                  # (BQ, 1)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+    o = jnp.dot(p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32) / l
     o_ref[0] = o.astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l)  # (BQ, 1)
 
@@ -99,14 +102,14 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale: float, n_valid: int):
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)                      # (BQ, D)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]                                          # (BQ, D)
     lse = lse_ref[0]                                        # (BQ, 1)
     delta = delta_ref[0]                                    # (BQ, 1)
 
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     n_padded = s.shape[1]
     if n_valid < n_padded:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -114,20 +117,21 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     p = jnp.exp(s - lse)                                    # (BQ, Np)
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dq = jnp.dot(ds.astype(k.dtype), k,
+                 preferred_element_type=jnp.float32) * scale
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale: float, n_valid: int):
-    q = q_ref[0].astype(jnp.float32) * scale                # (Np, D)
-    k = k_ref[0].astype(jnp.float32)                        # (BK, D)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)                      # (Np, D)
+    q = q_ref[0]                                            # (Np, D)
+    k = k_ref[0]                                            # (BK, D)
+    v = v_ref[0]
+    do = do_ref[0]                                          # (Np, D)
     lse = lse_ref[0][:, 0][None, :]                         # (1, Np)
     delta = delta_ref[0][:, 0][None, :]                     # (1, Np)
 
-    st = jnp.dot(k, q.T, preferred_element_type=jnp.float32)  # (BK, Np)
+    st = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * scale  # (BK, Np)
     nq = st.shape[1]
     # Padded queries: lse is garbage there; mask explicitly.
     if n_valid < nq:
@@ -135,10 +139,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         pt = jnp.where(col < n_valid, jnp.exp(st - lse), 0.0)
     else:
         pt = jnp.exp(st - lse)
-    dv = jnp.dot(pt, do, preferred_element_type=jnp.float32)
+    dv = jnp.dot(pt.astype(do.dtype), do,
+                 preferred_element_type=jnp.float32)
     dpt = jnp.dot(v, do.T, preferred_element_type=jnp.float32)  # (BK, Np)
     dst = pt * (dpt - delta)
-    dk = jnp.dot(dst, q, preferred_element_type=jnp.float32)  # q has scale
+    dk = jnp.dot(dst.astype(q.dtype), q,
+                 preferred_element_type=jnp.float32) * scale
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
