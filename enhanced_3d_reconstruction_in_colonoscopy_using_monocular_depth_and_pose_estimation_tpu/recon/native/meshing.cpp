@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <numeric>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -202,32 +203,45 @@ namespace mt {
 struct Mesh {
   std::vector<float> verts;
   std::vector<int32_t> tris;
+  // Weld vertices: one shared vertex per grid edge (keyed by the two
+  // global corner ids).
+  std::unordered_map<uint64_t, int32_t> edge_cache;
 };
 
 inline int64_t gid(int ix, int iy, int iz, int ny, int nz) {
   return (static_cast<int64_t>(ix) * ny + iy) * nz + iz;
 }
 
-// Interpolated vertex on the edge between grid corners a and b.
+// Interpolated vertex on the edge between grid corners a and b
+// (deduplicated by the global corner-id pair).
 int32_t edge_vertex(Mesh& mesh, const float* fa, const float* fb,
-                    float va, float vb, float iso) {
+                    float va, float vb, float iso,
+                    int64_t ga, int64_t gb) {
+  uint64_t lo = static_cast<uint64_t>(std::min(ga, gb));
+  uint64_t hi = static_cast<uint64_t>(std::max(ga, gb));
+  uint64_t key = (lo << 32) ^ hi;
+  auto it = mesh.edge_cache.find(key);
+  if (it != mesh.edge_cache.end()) return it->second;
   float t = (std::abs(vb - va) > 1e-12f) ? (iso - va) / (vb - va) : 0.5f;
   t = std::min(std::max(t, 0.f), 1.f);
   mesh.verts.push_back(fa[0] + t * (fb[0] - fa[0]));
   mesh.verts.push_back(fa[1] + t * (fb[1] - fa[1]));
   mesh.verts.push_back(fa[2] + t * (fb[2] - fa[2]));
-  return static_cast<int32_t>(mesh.verts.size() / 3 - 1);
+  int32_t idx = static_cast<int32_t>(mesh.verts.size() / 3 - 1);
+  mesh.edge_cache.emplace(key, idx);
+  return idx;
 }
 
 // Emit triangles for one tetrahedron (marching tetrahedra).
-void do_tet(Mesh& mesh, const float p[4][3], const float v[4], float iso) {
+void do_tet(Mesh& mesh, const float p[4][3], const float v[4],
+            const int64_t g[4], float iso) {
   int mask = 0;
   for (int i = 0; i < 4; ++i)
     if (v[i] < iso) mask |= 1 << i;
   if (mask == 0 || mask == 15) return;
 
   auto ev = [&](int a, int b) {
-    return edge_vertex(mesh, p[a], p[b], v[a], v[b], iso);
+    return edge_vertex(mesh, p[a], p[b], v[a], v[b], iso, g[a], g[b]);
   };
   auto tri = [&](int32_t a, int32_t b, int32_t c) {
     mesh.tris.push_back(a); mesh.tris.push_back(b); mesh.tris.push_back(c);
@@ -293,11 +307,13 @@ int e3d_marching_tetrahedra(const float* field, int nx, int ny, int nz,
       for (int iz = 0; iz + 1 < nz; ++iz) {
         float cv[8];
         float cp[8][3];
+        int64_t cg[8];
         bool any_lo = false, any_hi = false;
         for (int c = 0; c < 8; ++c) {
           int jx = ix + corner[c][0], jy = iy + corner[c][1],
               jz = iz + corner[c][2];
-          cv[c] = field[mt::gid(jx, jy, jz, ny, nz)];
+          cg[c] = mt::gid(jx, jy, jz, ny, nz);
+          cv[c] = field[cg[c]];
           (cv[c] < iso ? any_lo : any_hi) = true;
           cp[c][0] = origin[0] + spacing * jx;
           cp[c][1] = origin[1] + spacing * jy;
@@ -306,11 +322,13 @@ int e3d_marching_tetrahedra(const float* field, int nx, int ny, int nz,
         if (!any_lo || !any_hi) continue;
         for (const auto& tet : tets) {
           float p[4][3], v[4];
+          int64_t g[4];
           for (int i = 0; i < 4; ++i) {
             std::memcpy(p[i], cp[tet[i]], sizeof(float) * 3);
             v[i] = cv[tet[i]];
+            g[i] = cg[tet[i]];
           }
-          mt::do_tet(mesh, p, v, iso);
+          mt::do_tet(mesh, p, v, g, iso);
         }
       }
     }

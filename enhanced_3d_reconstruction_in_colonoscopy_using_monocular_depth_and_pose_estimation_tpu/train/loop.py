@@ -99,8 +99,9 @@ def fit_depth(
                     task, state.params, datamodule.val_loader(), pre,
                     max_depths=max_depths)
                 logger.log({"val_loss": val_metrics["loss"],
-                            **{f"Val/val_{k}": val_metrics[k]
-                               for k in ("d1", "abs_rel", "rmse", "l1")}},
+                            **{f"Val/val_{k}": v
+                               for k, v in val_metrics.items()
+                               if k != "loss"}},
                            step=step, force_stdout=True)
                 ckpt.save(step, state,
                           {"val_loss": float(val_metrics["loss"])})
@@ -120,16 +121,32 @@ def fit_depth(
 def evaluate_depth(task: DepthTask, params, loader, pre: DevicePreprocessor,
                    max_depths=None) -> dict[str, float]:
     """Mean metrics over a loader (weighting each batch equally, like the
-    reference's MeanMetric over per-batch values)."""
+    reference's MeanMetric over per-batch values). Combined batches also
+    produce per-source ``SimCol/`` and ``C3VD/`` metrics (sample-weighted,
+    C3VD l1/rmse in mm)."""
     sums: dict[str, float] = {}
     count = 0
+    src_sums: dict[str, float] = {}
+    src_weight: dict[str, float] = {}
     for batch in loader:
         prepped = pre(batch, train=False, max_depths=max_depths)
         metrics = task.eval_step(params, prepped)
         for k, v in metrics.items():
             sums[k] = sums.get(k, 0.0) + float(v)
         count += 1
-    return {k: v / max(count, 1) for k, v in sums.items()}
+        if "source" in prepped:
+            per_src = task.eval_step_combined(params, prepped)
+            for name in ("SimCol", "C3VD"):
+                n = float(per_src[f"{name}/count"])
+                for metric in ("l1", "rmse", "abs_rel", "d1"):
+                    key = f"{name}/{metric}"
+                    src_sums[key] = src_sums.get(key, 0.0) \
+                        + float(per_src[key]) * n
+                    src_weight[key] = src_weight.get(key, 0.0) + n
+    out = {k: v / max(count, 1) for k, v in sums.items()}
+    out.update({k: v / max(src_weight[k], 1e-12)
+                for k, v in src_sums.items()})
+    return out
 
 
 def fit_pose(
