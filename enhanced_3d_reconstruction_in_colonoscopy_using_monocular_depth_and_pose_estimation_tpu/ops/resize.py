@@ -120,14 +120,24 @@ def _apply_separable(x: Array, mat_h: np.ndarray, mat_w: np.ndarray) -> Array:
         raise ValueError(f"expected 2D/3D/4D input, got {x.shape}")
 
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    a_h = jnp.asarray(mat_h)
-    a_w = jnp.asarray(mat_w)
-    # (B,H,W,C): contract H then W on the MXU. Resampling weights must not be
-    # truncated (bf16 passes would bias the data pipeline), so pin precision.
-    hi = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("oh,bhwc->bowc", a_h, xf, precision=hi)
-    y = jnp.einsum("ow,bhwc->bhoc", a_w, y, precision=hi)
+    if dtype == jnp.bfloat16:
+        # Model-internal path (bf16 activations): bf16 x bf16 matmuls with
+        # f32 accumulation — full MXU rate, decoder-precision adequate.
+        a_h = jnp.asarray(mat_h, jnp.bfloat16)
+        a_w = jnp.asarray(mat_w, jnp.bfloat16)
+        y = jnp.einsum("oh,bhwc->bowc", a_h, x,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("ow,bhwc->bhoc", a_w, y.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    else:
+        # Data-pipeline path: resampling weights must not be truncated
+        # (bf16 passes would bias preprocessing), so pin full f32.
+        xf = x.astype(jnp.float32)
+        a_h = jnp.asarray(mat_h)
+        a_w = jnp.asarray(mat_w)
+        hi = jax.lax.Precision.HIGHEST
+        y = jnp.einsum("oh,bhwc->bowc", a_h, xf, precision=hi)
+        y = jnp.einsum("ow,bhwc->bhoc", a_w, y, precision=hi)
     y = y.astype(dtype)
     if squeeze_chan:
         y = y[..., 0]

@@ -75,6 +75,9 @@ class DepthTask:
         self.grad_accum = int(grad_accum)
         self.mesh = device_mesh or meshlib.build_mesh()
         self.tensor_parallel = tensor_parallel
+        self._sched_args = dict(total_steps=total_steps, pct_start=pct_start,
+                                div_factor=div_factor)
+        self._lrs = (encoder_lr, decoder_lr)
         self._opt_factory = functools.partial(
             make_depth_optimizer,
             encoder_lr=encoder_lr, decoder_lr=decoder_lr,
@@ -118,6 +121,20 @@ class DepthTask:
         opt_state_sh = jax.tree.map(opt_sh, state.opt_state)
         return DepthTrainState(param_sh, opt_state_sh,
                                meshlib.replicated_sharding(self.mesh))
+
+    def lr_table(self) -> dict[str, Any]:
+        """Per-step LR values for both groups (LearningRateMonitor parity,
+        reference ``main_lightning.py:125``). Computed once, on host."""
+        import numpy as np
+
+        from .optim import onecycle_schedule
+
+        steps = jnp.arange(self._sched_args["total_steps"])
+        out = {}
+        for name, lr in zip(("encoder", "decoder"), self._lrs):
+            sched = onecycle_schedule(lr, **self._sched_args)
+            out[name] = np.asarray(jax.vmap(sched)(steps))
+        return out
 
     # ------------------------------------------------------------- loss core
 

@@ -48,8 +48,13 @@ def fit_depth(
     seed: int = 42,
     pretrained_params: Any | None = None,
     max_steps: int | None = None,
+    resume: bool = False,
 ) -> DepthTrainState:
-    """Fine-tune depth; returns the final train state."""
+    """Fine-tune depth; returns the final train state.
+
+    ``resume=True`` restores the latest checkpoint (params + optimizer +
+    step) from ``ckpt_dir`` — mid-run resume, which the reference never
+    wires (SURVEY.md section 5)."""
     datamodule.setup("fit")
     size = datamodule.size
     pre = DevicePreprocessor(size=size)
@@ -59,7 +64,13 @@ def fit_depth(
 
     state = task.init_state(jax.random.PRNGKey(seed), (size, size),
                             pretrained_params=pretrained_params)
+    if resume:
+        restored = ckpt.restore_latest(jax.tree.map(lambda x: x, state))
+        if restored is not None:
+            state = jax.device_put(restored, task.state_shardings(state))
+            print(f"[fit_depth] resumed from step {int(state.step)}")
     rng = jax.random.PRNGKey(seed + 1)
+    lr_table = task.lr_table()
 
     train_loader = datamodule.train_loader()
     accum = task.grad_accum
@@ -89,9 +100,12 @@ def fit_depth(
                     [p["max_depth"] for p in prepped])
             state, metrics = task.train_step(state, batch)
             step = int(state.step)
+            lr_idx = min(step - 1, len(lr_table["encoder"]) - 1)
             logger.log({"train_loss": metrics["loss"],
                         **{f"Train/train_{k}": metrics[k]
                            for k in ("d1", "abs_rel", "rmse", "l1")},
+                        "lr/encoder": float(lr_table["encoder"][lr_idx]),
+                        "lr/decoder": float(lr_table["decoder"][lr_idx]),
                         "epoch": epoch}, step=step)
 
             if step % val_every == 0 or (max_steps and step >= max_steps):

@@ -1,0 +1,92 @@
+"""Tensor-parallel equivalence + checkpoint save/restore round trips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import e3d_tpu  # noqa: F401
+from e3d_tpu.core.checkpoint import CheckpointManager, EarlyStopping
+from e3d_tpu.core.dtypes import POLICY_F32
+from e3d_tpu.parallel import MeshSpec, build_mesh, param_shardings
+from e3d_tpu.train import DepthTask
+
+
+def make_batch(rng, accum=1, mb=8, hw=56):
+    return {
+        "image": jnp.asarray(rng.normal(size=(accum, mb, hw, hw, 3))
+                             .astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(0.5, 19.0,
+                                         size=(accum, mb, hw, hw, 1))
+                             .astype(np.float32)),
+    }
+
+
+def _run_steps(mesh, tp, batch, n=2):
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                     grad_accum=1, device_mesh=mesh, policy=POLICY_F32,
+                     grad_checkpoint=False, tensor_parallel=tp)
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+    metrics = None
+    for _ in range(n):
+        state, metrics = task.train_step(state, batch)
+    return state, metrics
+
+
+def test_tensor_parallel_matches_data_parallel(rng):
+    """Same batch, same seed: (data=4, model=2) TP == (data=8) DP."""
+    batch = make_batch(rng)
+    mesh_dp = build_mesh(MeshSpec(data=8, model=1))
+    mesh_tp = build_mesh(MeshSpec(data=4, model=2))
+    state_dp, m_dp = _run_steps(mesh_dp, False, batch)
+    state_tp, m_tp = _run_steps(mesh_tp, True, batch)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_tp["loss"]),
+                               rtol=1e-4)
+    # parameters stay numerically equal too
+    leaves_dp = jax.tree.leaves(state_dp.params)
+    leaves_tp = jax.tree.leaves(state_tp.params)
+    for a, b in zip(leaves_dp, leaves_tp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_tp_shards_vit_params():
+    mesh = build_mesh(MeshSpec(data=4, model=2))
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=4,
+                     device_mesh=mesh, policy=POLICY_F32,
+                     grad_checkpoint=False, tensor_parallel=True)
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+    qkv = state.params["pretrained"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    spec = qkv.sharding.spec
+    assert "model" in str(spec), spec
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                     grad_accum=1, device_mesh=mesh, policy=POLICY_F32,
+                     grad_checkpoint=False)
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+    batch = make_batch(rng)
+    state, _ = task.train_step(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(int(state.step), state, {"val_loss": 1.0})
+    state2, _ = task.train_step(state, batch)
+    mgr.save(int(state2.step), state2, {"val_loss": 0.5})
+
+    assert mgr.latest_step() == 2
+    assert mgr.best_step() == 2  # lower val_loss
+
+    template = task.init_state(jax.random.PRNGKey(1), (56, 56))
+    restored = mgr.restore_best(template)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_early_stopping():
+    stopper = EarlyStopping(patience=2)
+    values = [1.0, 0.9, 0.95, 0.95, 0.95]
+    results = [stopper.update(v) for v in values]
+    assert results == [False, False, False, False, True]
