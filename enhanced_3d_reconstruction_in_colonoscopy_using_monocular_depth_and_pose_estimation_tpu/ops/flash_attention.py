@@ -1,24 +1,23 @@
 """Pallas TPU fused attention for the ViT encoder (forward + backward).
 
-The encoder's attention at 518 px is 1370 tokens x 64 head-dim — the score
-matrix for one (batch, head) is ~1408x1408 f32 = 7.9 MB in HBM per head if
-materialized. This kernel keeps K/V and the score block in VMEM and never
-writes probabilities to HBM:
+The encoder's attention at 518 px is 1370 tokens x 64 head-dim. Design
+points for v5e:
 
-- forward: per (batch*head, q-block) program; full K/V for that head sit in
-  VMEM (1408 x 64 bf16 = 176 KB each), the q-block's score matrix
-  (128 x 1408 f32 = 720 KB) lives in registers/VMEM, softmax is computed in
-  f32, output is p @ v. The log-sum-exp is written out for the backward.
-- backward: two kernels — dq per q-block, dk/dv per k-block — recompute the
-  probabilities from the saved LSE (standard flash-attention backward).
-
-Sequence padding to a multiple of 128 is handled in the wrapper; padded keys
-are masked with -inf, padded queries contribute zero gradient.
+- K/V for a *block of heads* stay resident in VMEM while all query blocks
+  stream past them (the K/V BlockSpec index is constant across the inner
+  grid dimension, so Pallas keeps the buffer), and each program computes
+  several heads - per-program overhead was the dominant cost with a
+  one-(head, q-block)-per-program layout (1408 tiny programs).
+- The MXU runs bf16 x bf16 -> f32; softmax statistics are f32.
+- The log-sum-exp is saved as (BH, Np, 1) (TPU block-shape friendly) for
+  the backward, which recomputes probabilities per block (standard flash
+  backward: a dq kernel per q-block and a dk/dv kernel per k-block).
+- Sequence padding to a multiple of 128 happens in the wrapper; padded
+  keys are masked to -inf, padded queries contribute zero gradient.
 
 A ``jax.custom_vjp`` ties it together; ``ops.attention`` dispatches here on
-TPU and to plain XLA elsewhere. Set ``interpret=True`` (or run the test
-suite, which does) to execute the same kernels on CPU via the Pallas
-interpreter.
+TPU and to plain XLA elsewhere. The test suite runs the same kernels on CPU
+via the Pallas interpreter.
 """
 
 from __future__ import annotations
@@ -40,54 +39,61 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _head_block(n_heads: int, np_: int, d: int, itemsize: int) -> int:
+    """Heads per program: keep resident K/V (+ double buffering + the f32
+    score scratch) comfortably inside the ~16 MB VMEM budget."""
+    per_head = 2 * np_ * d * itemsize  # K+V
+    hb = max(1, int(3 * 1024 * 1024 // max(per_head, 1)))
+    hb = min(hb, n_heads)
+    while n_heads % hb:
+        hb -= 1
+    return hb
+
+
+def _mask_cols(s: Array, n_valid: int) -> Array:
+    if n_valid < s.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+        return jnp.where(col < n_valid, s, NEG_INF)
+    return s
+
+
 # ------------------------------ forward -------------------------------------
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                n_valid: int):
-    # Keep inputs in their storage dtype (bf16 on the hot path): the MXU
-    # runs bf16 x bf16 -> f32 at full rate; upcasting first would quarter it.
-    q = q_ref[0]                                           # (BQ, D)
-    k = k_ref[0]                                           # (Np, D)
-    v = v_ref[0]                                           # (Np, D)
-
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (BQ, Np)
-    n_padded = s.shape[1]
-    if n_valid < n_padded:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, NEG_INF)
-
-    m = jnp.max(s, axis=1, keepdims=True)                  # (BQ, 1)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = jnp.dot(p.astype(v.dtype), v,
-                preferred_element_type=jnp.float32) / l
-    o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)  # (BQ, 1)
+                n_valid: int, hb: int):
+    for h in range(hb):
+        q = q_ref[h]                                        # (BQ, D)
+        k = k_ref[h]                                        # (Np, D)
+        v = v_ref[h]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = _mask_cols(s, n_valid)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32) / l
+        o_ref[h] = o.astype(o_ref.dtype)
+        lse_ref[h] = m + jnp.log(l)
 
 
 def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
          interpret: bool) -> tuple[Array, Array]:
-    """q3/k3/v3: (BH, Np, D) padded. Returns (out (BH, Np, D), lse (BH, Np))."""
+    """q3/k3/v3: (BH, Np, D) padded. Returns (out, lse (BH, Np, 1))."""
     bh, np_, d = q3.shape
-    grid = (bh, np_ // BLOCK_Q)
+    hb = _head_block(bh, np_, d, q3.dtype.itemsize)
+    grid = (bh // hb, np_ // BLOCK_Q)
+    blk = pl.BlockSpec((hb, BLOCK_Q, d), lambda b, i: (b, i, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((hb, np_, d), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec_blk = pl.BlockSpec((hb, BLOCK_Q, 1), lambda b, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid),
+        functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid, hb=hb),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[blk, full, full],
+        out_specs=[blk, vec_blk],
         out_shape=[
             jax.ShapeDtypeStruct((bh, np_, d), q3.dtype),
             jax.ShapeDtypeStruct((bh, np_, 1), jnp.float32),
@@ -101,82 +107,81 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, scale: float, n_valid: int):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]                                          # (BQ, D)
-    lse = lse_ref[0]                                        # (BQ, 1)
-    delta = delta_ref[0]                                    # (BQ, 1)
-
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    n_padded = s.shape[1]
-    if n_valid < n_padded:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse)                                    # (BQ, Np)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
-    dq = jnp.dot(ds.astype(k.dtype), k,
-                 preferred_element_type=jnp.float32) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+                   *, scale: float, n_valid: int, hb: int):
+    for h in range(hb):
+        q = q_ref[h]
+        k = k_ref[h]
+        v = v_ref[h]
+        do = do_ref[h]
+        lse = lse_ref[h]                                    # (BQ, 1)
+        delta = delta_ref[h]                                # (BQ, 1)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = _mask_cols(s, n_valid)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq = jnp.dot(ds.astype(k.dtype), k,
+                     preferred_element_type=jnp.float32) * scale
+        dq_ref[h] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale: float, n_valid: int):
-    q = q_ref[0]                                            # (Np, D)
-    k = k_ref[0]                                            # (BK, D)
-    v = v_ref[0]
-    do = do_ref[0]                                          # (Np, D)
-    lse = lse_ref[0][:, 0][None, :]                         # (1, Np)
-    delta = delta_ref[0][:, 0][None, :]                     # (1, Np)
-
-    st = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * scale  # (BK, Np)
-    nq = st.shape[1]
-    # Padded queries: lse is garbage there; mask explicitly.
-    if n_valid < nq:
-        col = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
-        pt = jnp.where(col < n_valid, jnp.exp(st - lse), 0.0)
-    else:
-        pt = jnp.exp(st - lse)
-    dv = jnp.dot(pt.astype(do.dtype), do,
-                 preferred_element_type=jnp.float32)
-    dpt = jnp.dot(v, do.T, preferred_element_type=jnp.float32)  # (BK, Np)
-    dst = pt * (dpt - delta)
-    dk = jnp.dot(dst.astype(q.dtype), q,
-                 preferred_element_type=jnp.float32) * scale
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+                    dk_ref, dv_ref, *, scale: float, n_valid: int, hb: int):
+    for h in range(hb):
+        q = q_ref[h]                                        # (Np, D)
+        k = k_ref[h]                                        # (BK, D)
+        v = v_ref[h]
+        do = do_ref[h]                                      # (Np, D)
+        lse = lse_ref[h][:, 0][None, :]                     # (1, Np)
+        delta = delta_ref[h][:, 0][None, :]
+        st = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * scale
+        nq = st.shape[1]
+        if n_valid < nq:  # padded queries: lse is garbage there
+            col = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+            pt = jnp.where(col < n_valid, jnp.exp(st - lse), 0.0)
+        else:
+            pt = jnp.exp(st - lse)
+        dv = jnp.dot(pt.astype(do.dtype), do,
+                     preferred_element_type=jnp.float32)
+        dpt = jnp.dot(v, do.T, preferred_element_type=jnp.float32)
+        dst = pt * (dpt - delta)
+        dk = jnp.dot(dst.astype(q.dtype), q,
+                     preferred_element_type=jnp.float32) * scale
+        dk_ref[h] = dk.astype(dk_ref.dtype)
+        dv_ref[h] = dv.astype(dv_ref.dtype)
 
 
 def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
     q3, k3, v3, out, lse = residuals
     bh, np_, d = q3.shape
-    do = g.astype(jnp.float32)
-    delta = jnp.sum(do * out.astype(jnp.float32), axis=-1,
-                    keepdims=True)                          # (BH, Np, 1)
+    hb = _head_block(bh, np_, d, q3.dtype.itemsize)
+    do = g.astype(q3.dtype)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)                 # (BH, Np, 1)
 
-    full = pl.BlockSpec((1, np_, d), lambda b, i: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
-    blk = pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0),
+    blk = pl.BlockSpec((hb, BLOCK_Q, d), lambda b, i: (b, i, 0),
                        memory_space=pltpu.VMEM)
-    vec_full = pl.BlockSpec((1, np_, 1), lambda b, i: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
-    vec_blk = pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0),
+    full = pl.BlockSpec((hb, np_, d), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec_blk = pl.BlockSpec((hb, BLOCK_Q, 1), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
-    grid = (bh, np_ // BLOCK_Q)
+    vec_full = pl.BlockSpec((hb, np_, 1), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid = (bh // hb, np_ // BLOCK_Q)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, n_valid=n_valid),
+        functools.partial(_bwd_dq_kernel, scale=scale, n_valid=n_valid,
+                          hb=hb),
         grid=grid,
         in_specs=[blk, full, full, blk, vec_blk, vec_blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((bh, np_, d), q3.dtype),
         interpret=interpret,
-    )(q3, k3, v3, do.astype(q3.dtype), lse, delta)
+    )(q3, k3, v3, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, n_valid=n_valid),
+        functools.partial(_bwd_dkv_kernel, scale=scale, n_valid=n_valid,
+                          hb=hb),
         grid=grid,
         in_specs=[full, blk, blk, full, vec_full, vec_full],
         out_specs=[blk, blk],
@@ -185,7 +190,7 @@ def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
             jax.ShapeDtypeStruct((bh, np_, d), v3.dtype),
         ],
         interpret=interpret,
-    )(q3, k3, v3, do.astype(q3.dtype), lse, delta)
+    )(q3, k3, v3, do, lse, delta)
 
     return dq, dk, dv
 

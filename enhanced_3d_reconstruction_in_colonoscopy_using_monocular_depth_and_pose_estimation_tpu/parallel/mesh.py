@@ -27,6 +27,26 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with env-based
+    autodetection (TPU pods). Single-process runs are a no-op. Data
+    parallelism then spans hosts over DCN while the in-host axis rides ICI
+    — the mesh construction below is identical either way.
+    """
+    import os
+
+    if num_processes in (None, 1) and "JAX_COORDINATOR_ADDRESS" not in os.environ \
+            and coordinator_address is None:
+        return  # single process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
     """Logical mesh shape; -1 means 'all remaining devices'."""
