@@ -62,8 +62,35 @@ def remove_bad_frames(root: str, rgb_list: list[str], depth_list: list[str],
     return rgb_out, depth_out, pos_out
 
 
+_NATIVE_PNG = None  # tri-state: None = untried, False = unavailable
+
+
+def _native_png():
+    global _NATIVE_PNG
+    if _NATIVE_PNG is None:
+        try:
+            from . import native as native_png
+            native_png.png_info  # touch
+            _NATIVE_PNG = native_png
+        except Exception:
+            _NATIVE_PNG = False
+    return _NATIVE_PNG
+
+
 def decode_rgb(path: str) -> np.ndarray:
-    """RGB uint8 (H, W, 3). PNG via PIL; drops alpha."""
+    """RGB uint8 (H, W, 3). Native C++ PNG decoder (data/native) with a
+    PIL fallback; drops alpha."""
+    native = _native_png()
+    if native and path.endswith(".png"):
+        try:
+            arr = native.decode_png_batch([path])[0]
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            if arr.dtype == np.uint16:
+                arr = (arr // 256).astype(np.uint8)
+            return np.ascontiguousarray(arr[:, :, :3])
+        except ValueError:
+            pass  # unsupported PNG flavor -> PIL
     from PIL import Image
 
     arr = np.asarray(Image.open(path))
@@ -73,7 +100,14 @@ def decode_rgb(path: str) -> np.ndarray:
 
 
 def decode_depth16_png(path: str) -> np.ndarray:
-    """16-bit depth PNG -> uint16 (H, W)."""
+    """16-bit depth PNG -> uint16 (H, W). Native decoder, PIL fallback."""
+    native = _native_png()
+    if native and path.endswith(".png"):
+        try:
+            arr = native.decode_png_batch([path])[0]
+            return arr.astype(np.uint16)
+        except ValueError:
+            pass
     from PIL import Image
 
     arr = np.asarray(Image.open(path))
