@@ -39,11 +39,14 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _head_block(n_heads: int, np_: int, d: int, itemsize: int) -> int:
+def _head_block(n_heads: int, np_: int, d: int, itemsize: int,
+                budget: int = 3 * 1024 * 1024) -> int:
     """Heads per program: keep resident K/V (+ double buffering + the f32
-    score scratch) comfortably inside the ~16 MB VMEM budget."""
+    score scratch) comfortably inside the ~16 MB VMEM budget. The backward
+    kernels carry several (BLOCK_Q, Np) f32 intermediates per unrolled
+    head, so they use a much smaller budget."""
     per_head = 2 * np_ * d * itemsize  # K+V
-    hb = max(1, int(3 * 1024 * 1024 // max(per_head, 1)))
+    hb = max(1, int(budget // max(per_head, 1)))
     hb = min(hb, n_heads)
     while n_heads % hb:
         hb -= 1
@@ -154,7 +157,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
     q3, k3, v3, out, lse = residuals
     bh, np_, d = q3.shape
-    hb = _head_block(bh, np_, d, q3.dtype.itemsize)
+    hb = _head_block(bh, np_, d, q3.dtype.itemsize, budget=768 * 1024)
     do = g.astype(q3.dtype)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)                 # (BH, Np, 1)

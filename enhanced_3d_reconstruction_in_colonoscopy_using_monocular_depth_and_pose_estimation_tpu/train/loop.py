@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import CheckpointManager, EarlyStopping
+from ..core.debug import StepTimer
 from ..core.logging import MetricLogger
 from ..data.preprocess import DevicePreprocessor
 from .depth_task import DepthTask, DepthTrainState
@@ -71,6 +72,7 @@ def fit_depth(
             print(f"[fit_depth] resumed from step {int(state.step)}")
     rng = jax.random.PRNGKey(seed + 1)
     lr_table = task.lr_table()
+    timer = StepTimer()
 
     train_loader = datamodule.train_loader()
     accum = task.grad_accum
@@ -98,8 +100,9 @@ def fit_depth(
             if combined:
                 batch["max_depth"] = jnp.stack(
                     [p["max_depth"] for p in prepped])
-            state, metrics = task.train_step(state, batch)
-            step = int(state.step)
+            with timer.step():
+                state, metrics = task.train_step(state, batch)
+                step = int(state.step)  # host sync point
             lr_idx = min(step - 1, len(lr_table["encoder"]) - 1)
             logger.log({"train_loss": metrics["loss"],
                         **{f"Train/train_{k}": metrics[k]
@@ -127,7 +130,12 @@ def fit_depth(
             if max_steps and step >= max_steps:
                 stop = True
                 break
-        print(f"[epoch {epoch}] {time.time() - t_epoch:.1f}s")
+        summary = timer.summary()
+        print(f"[epoch {epoch}] {time.time() - t_epoch:.1f}s "
+              f"({summary.get('steps_per_s', 0):.2f} steps/s)")
+        if summary:
+            logger.log({f"perf/{k}": v for k, v in summary.items()},
+                       step=int(state.step))
     ckpt.close()
     return state
 
