@@ -46,7 +46,13 @@ def main() -> None:
         np.random.default_rng(0).normal(size=(batch, 518, 518, 3))
         .astype(np.float32))
     t0 = time.time()
-    params = model.init(rng, image[:1])["params"]
+    # Shape-only init + deterministic cheap fill: matmul timing is
+    # data-independent, and random-init of 335M params through the device
+    # tunnel costs ~200 s.
+    shapes = jax.eval_shape(lambda r: model.init(r, image[:1])["params"],
+                            rng)
+    params = jax.tree.map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
     log(f"init: {time.time() - t0:.1f}s")
 
     # The axon tunnel's block_until_ready does not reliably wait for remote
