@@ -35,6 +35,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--save-numpy", action="store_true")
     p.add_argument("--pred-only", action="store_true")
     p.add_argument("--grayscale", action="store_true")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help=">1 batches same-resolution frames on device "
+                        "(TPU-native extension; 1 = reference per-frame)")
     return p.parse_args(argv)
 
 
@@ -100,27 +103,47 @@ def main(argv=None) -> None:
     filenames = enumerate_inputs(args)
     os.makedirs(args.outdir, exist_ok=True)
 
+    # Skip-existing first (run.py:224-230 idempotence).
+    todo = []
     skipped = 0
     for filename in filenames:
         out_folder, base_name = output_paths(args, filename)
-        npy_path = out_folder / f"{base_name}.npy"
-        png_path = out_folder / f"{base_name}.png"
-        if png_path.exists():
+        if (out_folder / f"{base_name}.png").exists():
             skipped += 1
-            continue
+        else:
+            todo.append((filename, out_folder, base_name))
 
-        raw = cv2.imread(filename)
-        depth = infer_image(model, params, raw, args.input_size)
-
+    def write_outputs(filename, out_folder, base_name, raw, depth):
         out_folder.mkdir(parents=True, exist_ok=True)
         if args.save_numpy:
-            np.save(str(npy_path), depth)
-
+            np.save(str(out_folder / f"{base_name}.npy"), depth)
         rendered = colorize_depth(depth, grayscale=args.grayscale)
+        png_path = out_folder / f"{base_name}.png"
         if args.pred_only:
             cv2.imwrite(str(png_path), rendered)
         else:
             cv2.imwrite(str(png_path), side_by_side(raw, rendered))
+
+    if args.batch_size > 1:
+        from ..models.depth_anything import infer_images_batched
+
+        # Group by resolution, then run device batches.
+        by_shape: dict[tuple, list] = {}
+        for item in todo:
+            raw = cv2.imread(item[0])
+            by_shape.setdefault(raw.shape[:2], []).append((item, raw))
+        for _, group in by_shape.items():
+            raws = [raw for _, raw in group]
+            depths = infer_images_batched(model, params, raws,
+                                          args.input_size, args.batch_size)
+            for ((filename, out_folder, base_name), raw), depth in zip(
+                    group, depths):
+                write_outputs(filename, out_folder, base_name, raw, depth)
+    else:
+        for filename, out_folder, base_name in todo:
+            raw = cv2.imread(filename)
+            depth = infer_image(model, params, raw, args.input_size)
+            write_outputs(filename, out_folder, base_name, raw, depth)
 
     print("\nProcessing complete:")
     print(f"- Total files: {len(filenames)}")

@@ -125,6 +125,53 @@ def infer_image(model: DepthAnythingV2, params, bgr: np.ndarray,
     return np.asarray(_infer(params, rgb01, net_hw, model_static))
 
 
+def infer_images_batched(model: DepthAnythingV2, params,
+                         bgr_frames: list[np.ndarray],
+                         input_size: int = 518,
+                         batch_size: int = 8) -> list[np.ndarray]:
+    """Batched inference over same-resolution BGR frames.
+
+    TPU-native extension of the reference's per-frame ``infer_image`` loop
+    (``run.py:195-262``): frames are stacked into device batches so the
+    MXU stays busy; resize/normalize/resize-back run inside the same jit.
+    Ragged tails are padded to keep one compiled program.
+    """
+    if not bgr_frames:
+        return []
+    h, w = bgr_frames[0].shape[:2]
+    for f in bgr_frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("infer_images_batched requires equal "
+                             "resolutions; use infer_image for mixed sizes")
+    net_hw = _lower_bound_hw(h, w, input_size)
+    model_static = _ModelThunk(model)
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def run(params, rgb01, net_hw, model_static):
+        m = model_static()
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+        x = resize_antialias(rgb01, net_hw, method="bicubic")
+        x = (x - mean) / std
+        depth = m.apply({"params": params}, x)
+        return resize_align_corners(depth[..., None], (h, w))[..., 0]
+
+    outputs: list[np.ndarray] = []
+    for start in range(0, len(bgr_frames), batch_size):
+        chunk = bgr_frames[start:start + batch_size]
+        arr = np.stack([f[..., ::-1] for f in chunk]).astype(np.float32)
+        arr /= 255.0
+        n = len(chunk)
+        if n < batch_size:  # pad the tail: one compiled shape
+            arr = np.concatenate(
+                [arr, np.zeros((batch_size - n,) + arr.shape[1:],
+                               np.float32)])
+        depths = np.asarray(run(params, jnp.asarray(arr), net_hw,
+                                model_static))
+        outputs.extend(depths[:n])
+    return outputs
+
+
 class _ModelThunk:
     """Hashable wrapper so the module config is a static jit arg."""
 
