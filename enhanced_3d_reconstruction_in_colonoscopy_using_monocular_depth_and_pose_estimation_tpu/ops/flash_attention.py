@@ -45,9 +45,7 @@ def _head_block(n_heads: int, np_: int, d: int, itemsize: int,
     score scratch) comfortably inside the ~16 MB VMEM budget. The backward
     kernels carry several (BLOCK_Q, Np) f32 intermediates per unrolled
     head, so they use a much smaller budget."""
-    # Account for the (BLOCK_Q, Np) f32 score intermediates per unrolled
-    # head as well as resident K+V.
-    per_head = 2 * np_ * d * itemsize + BLOCK_Q * np_ * 4
+    per_head = 2 * np_ * d * itemsize  # K+V
     hb = max(1, int(budget // max(per_head, 1)))
     hb = min(hb, n_heads)
     while n_heads % hb:
