@@ -181,6 +181,7 @@ def fit_pose(
     logger: MetricLogger | None = None,
     seed: int = 42,
     max_steps: int | None = None,
+    resume: bool = False,
 ):
     """Train the pose regressor; returns the final state.
 
@@ -198,6 +199,12 @@ def fit_pose(
 
     size = datamodule.size
     state = task.init_state(jax.random.PRNGKey(seed), (size, size))
+    if resume:
+        restored = ckpt.restore_latest(jax.tree.map(lambda x: x, state))
+        if restored is not None:
+            state = jax.device_put(restored)
+            print(f"[fit_pose] resumed from step {int(state.step)}")
+    lr_table = task.lr_table()
 
     stop = False
     for epoch in range(max_epochs):
@@ -211,6 +218,8 @@ def fit_pose(
             logger.log({"train_loss": metrics["loss"],
                         **{f"Train/train_{k}": metrics[k]
                            for k in ("ate", "rte", "rote")},
+                        "lr": float(lr_table[min(step - 1,
+                                                 len(lr_table) - 1)]),
                         "epoch": epoch}, step=step)
             if max_steps and step >= max_steps:
                 stop = True

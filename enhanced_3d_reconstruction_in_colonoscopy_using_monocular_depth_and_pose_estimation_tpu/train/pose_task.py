@@ -53,6 +53,9 @@ class PoseTask:
         self.model = PoseEstimationNet(in_channels=in_channels)
         self.beta = float(beta)
         self.mesh = device_mesh or meshlib.build_mesh()
+        self._sched_args = dict(total_steps=total_steps,
+                                pct_start=pct_start, div_factor=div_factor)
+        self._lr = lr
         self.optimizer = make_pose_optimizer(
             lr, total_steps, pct_start, div_factor,
             weight_decay=weight_decay, clip_norm=clip_norm)
@@ -72,6 +75,16 @@ class PoseTask:
                                jnp.zeros((), jnp.int32), state_rng)
         repl = meshlib.replicated_sharding(self.mesh)
         return jax.device_put(state, jax.tree.map(lambda _: repl, state))
+
+    def lr_table(self):
+        """Per-step LR values (LearningRateMonitor parity)."""
+        import numpy as np
+
+        from .optim import onecycle_schedule
+
+        sched = onecycle_schedule(self._lr, **self._sched_args)
+        steps = jnp.arange(self._sched_args["total_steps"])
+        return np.asarray(jax.vmap(sched)(steps))
 
     # ------------------------------------------------------------ train step
 
