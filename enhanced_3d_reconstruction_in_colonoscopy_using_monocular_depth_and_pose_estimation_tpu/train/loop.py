@@ -50,6 +50,7 @@ def fit_depth(
     pretrained_params: Any | None = None,
     max_steps: int | None = None,
     resume: bool = False,
+    log_every: int = 1,
 ) -> DepthTrainState:
     """Fine-tune depth; returns the final train state.
 
@@ -73,6 +74,8 @@ def fit_depth(
     rng = jax.random.PRNGKey(seed + 1)
     lr_table = task.lr_table()
     timer = StepTimer()
+    host_step = int(state.step)
+    log_every = max(1, log_every)
 
     train_loader = datamodule.train_loader()
     accum = task.grad_accum
@@ -102,14 +105,19 @@ def fit_depth(
                     [p["max_depth"] for p in prepped])
             with timer.step():
                 state, metrics = task.train_step(state, batch)
-                step = int(state.step)  # host sync point
-            lr_idx = min(step - 1, len(lr_table["encoder"]) - 1)
-            logger.log({"train_loss": metrics["loss"],
-                        **{f"Train/train_{k}": metrics[k]
-                           for k in ("d1", "abs_rel", "rmse", "l1")},
-                        "lr/encoder": float(lr_table["encoder"][lr_idx]),
-                        "lr/decoder": float(lr_table["decoder"][lr_idx]),
-                        "epoch": epoch}, step=step)
+                step = host_step = host_step + 1
+                if (step % log_every == 0 or step % val_every == 0
+                        or (max_steps and step >= max_steps)):
+                    # Host sync only at logging/validation boundaries —
+                    # otherwise steps stay fully pipelined on device.
+                    lr_idx = min(step - 1, len(lr_table["encoder"]) - 1)
+                    logger.log(
+                        {"train_loss": metrics["loss"],
+                         **{f"Train/train_{k}": metrics[k]
+                            for k in ("d1", "abs_rel", "rmse", "l1")},
+                         "lr/encoder": float(lr_table["encoder"][lr_idx]),
+                         "lr/decoder": float(lr_table["decoder"][lr_idx]),
+                         "epoch": epoch}, step=step)
 
             if step % val_every == 0 or (max_steps and step >= max_steps):
                 val_metrics = evaluate_depth(
