@@ -88,4 +88,5 @@ class EarlyStopping:
             self.bad_count = 0
         else:
             self.bad_count += 1
-        return self.bad_count > self.patience
+        # Lightning semantics: stop when wait_count >= patience.
+        return self.bad_count >= self.patience

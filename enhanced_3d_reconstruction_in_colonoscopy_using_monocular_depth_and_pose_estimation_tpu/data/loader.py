@@ -83,19 +83,38 @@ class PrefetchLoader:
                     while next_b < n_batches and len(window) <= self.prefetch:
                         window.append(submit(next_b))
                         next_b += 1
+                    def safe_put(item) -> bool:
+                        # Never block forever: the consumer may abandon the
+                        # iterator (early stop / max_steps) with the queue
+                        # full.
+                        while not stop.is_set():
+                            try:
+                                out_q.put(item, timeout=0.1)
+                                return True
+                            except queue.Full:
+                                continue
+                        return False
+
                     while window:
                         if stop.is_set():
                             return
                         futs = window.pop(0)
                         samples = [f.result() for f in futs]
-                        out_q.put(_collate(samples))
+                        if not safe_put(_collate(samples)):
+                            return
                         if next_b < n_batches:
                             window.append(submit(next_b))
                             next_b += 1
             except Exception as exc:  # propagate to consumer
-                out_q.put(exc)
+                try:
+                    out_q.put_nowait(exc)
+                except queue.Full:
+                    pass
             finally:
-                out_q.put(None)
+                try:
+                    out_q.put_nowait(None)
+                except queue.Full:
+                    pass
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

@@ -78,22 +78,23 @@ class PoseDataset:
             n = min(len(positions), len(rgb_frames), len(depth_frames))
             positions, orientations = positions[:n], orientations[:n]
             rgb_frames, depth_frames = rgb_frames[:n], depth_frames[:n]
+            poses = list(np.concatenate([positions, orientations], axis=1))
+
+            if mode == "Val":
+                # Filter blacklisted frames PER FOLDER, before pair
+                # construction, so pair indices stay aligned (the
+                # reference's post-hoc removal leaves stale indices;
+                # divergence documented in data/io.py).
+                rgb_frames, depth_frames, poses = dio.remove_bad_frames(
+                    data_dir, rgb_frames, depth_frames, poses)
+                n = len(rgb_frames)
 
             start = len(self.rgb_paths)
             self.rgb_paths.extend(rgb_frames)
             self.depth_paths.extend(depth_frames)
-            self.poses.extend(np.concatenate([positions, orientations],
-                                             axis=1))
+            self.poses.extend(poses)
             # consecutive pairs within this procedure only
-            self._pair_indices.extend(range(start, start + n - 1))
-
-        if mode == "Val":
-            self.rgb_paths, self.depth_paths, self.poses = (
-                dio.remove_bad_frames(data_dir, self.rgb_paths,
-                                      self.depth_paths, self.poses))
-            self._pair_indices = [
-                i for i in self._pair_indices
-                if i + 1 < len(self.rgb_paths)]
+            self._pair_indices.extend(range(start, start + max(n - 1, 0)))
 
         assert len(self.rgb_paths) == len(self.depth_paths) == len(self.poses)
 

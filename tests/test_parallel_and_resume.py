@@ -89,4 +89,5 @@ def test_early_stopping():
     stopper = EarlyStopping(patience=2)
     values = [1.0, 0.9, 0.95, 0.95, 0.95]
     results = [stopper.update(v) for v in values]
-    assert results == [False, False, False, False, True]
+    # Lightning semantics: stop once wait_count >= patience (2 bad evals).
+    assert results == [False, False, False, True, True]
