@@ -86,7 +86,9 @@ class EarlyStopping:
         if improved:
             self.best = value
             self.bad_count = 0
-        else:
-            self.bad_count += 1
-        # Lightning semantics: stop when wait_count >= patience.
+            return False
+        self.bad_count += 1
+        # Lightning semantics: stop when wait_count >= patience, checked
+        # only after a non-improving eval (patience=0 never stops an
+        # improving one).
         return self.bad_count >= self.patience

@@ -67,6 +67,18 @@ class PrefetchLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def safe_put(item) -> bool:
+            # Stop-aware blocking put: never blocks forever (the consumer
+            # may abandon the iterator with the queue full), never drops
+            # the item while the consumer is still listening.
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
@@ -83,17 +95,6 @@ class PrefetchLoader:
                     while next_b < n_batches and len(window) <= self.prefetch:
                         window.append(submit(next_b))
                         next_b += 1
-                    def safe_put(item) -> bool:
-                        # Never block forever: the consumer may abandon the
-                        # iterator (early stop / max_steps) with the queue
-                        # full.
-                        while not stop.is_set():
-                            try:
-                                out_q.put(item, timeout=0.1)
-                                return True
-                            except queue.Full:
-                                continue
-                        return False
 
                     while window:
                         if stop.is_set():
@@ -106,15 +107,9 @@ class PrefetchLoader:
                             window.append(submit(next_b))
                             next_b += 1
             except Exception as exc:  # propagate to consumer
-                try:
-                    out_q.put_nowait(exc)
-                except queue.Full:
-                    pass
+                safe_put(exc)
             finally:
-                try:
-                    out_q.put_nowait(None)
-                except queue.Full:
-                    pass
+                safe_put(None)  # end-of-epoch sentinel (must not be dropped)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

@@ -80,21 +80,31 @@ class PoseDataset:
             rgb_frames, depth_frames = rgb_frames[:n], depth_frames[:n]
             poses = list(np.concatenate([positions, orientations], axis=1))
 
+            orig_idx = list(range(n))
             if mode == "Val":
                 # Filter blacklisted frames PER FOLDER, before pair
-                # construction, so pair indices stay aligned (the
-                # reference's post-hoc removal leaves stale indices;
-                # divergence documented in data/io.py).
-                rgb_frames, depth_frames, poses = dio.remove_bad_frames(
-                    data_dir, rgb_frames, depth_frames, poses)
+                # construction, keeping original frame numbers so pairs
+                # never span a removed gap (the reference's post-hoc
+                # removal leaves stale indices; divergence documented).
+                import os as _os
+                bad = {_os.path.join(data_dir, f)
+                       for f in dio.BAD_VAL_FRAMES}
+                keep = [i for i, p in enumerate(rgb_frames) if p not in bad]
+                rgb_frames = [rgb_frames[i] for i in keep]
+                depth_frames = [depth_frames[i] for i in keep]
+                poses = [poses[i] for i in keep]
+                orig_idx = keep
                 n = len(rgb_frames)
 
             start = len(self.rgb_paths)
             self.rgb_paths.extend(rgb_frames)
             self.depth_paths.extend(depth_frames)
             self.poses.extend(poses)
-            # consecutive pairs within this procedure only
-            self._pair_indices.extend(range(start, start + max(n - 1, 0)))
+            # consecutive pairs within this procedure only — and only
+            # truly consecutive original frames (no blacklist gaps)
+            self._pair_indices.extend(
+                start + j for j in range(n - 1)
+                if orig_idx[j + 1] == orig_idx[j] + 1)
 
         assert len(self.rgb_paths) == len(self.depth_paths) == len(self.poses)
 
