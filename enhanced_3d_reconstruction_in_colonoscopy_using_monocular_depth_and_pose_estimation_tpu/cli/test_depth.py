@@ -112,6 +112,13 @@ def main(argv: list[str] | None = None) -> None:
                 bucket[k].append(val)
                 overall[k].append(val)
 
+    # Reference aggregation (test_lightning.py:240-283): per-procedure
+    # means first, then overall = mean/std ACROSS PROCEDURES — this is how
+    # the recorded simcol_results_{bs,ft}.json numbers are defined.
+    proc_means = {
+        proc: {k: float(np.mean(v)) for k, v in buckets.items()}
+        for proc, buckets in sorted(per_proc.items())
+    }
     results = {
         "procedure_metrics": {
             proc: {k: {"mean": float(np.mean(v)), "std": float(np.std(v))}
@@ -119,6 +126,11 @@ def main(argv: list[str] | None = None) -> None:
             for proc, buckets in sorted(per_proc.items())
         },
         "overall_metrics": {
+            k: {"mean": float(np.mean([m[k] for m in proc_means.values()])),
+                "std": float(np.std([m[k] for m in proc_means.values()]))}
+            for k in METRIC_KEYS
+        },
+        "overall_metrics_per_sample": {
             k: {"mean": float(np.mean(v)), "std": float(np.std(v))}
             for k, v in overall.items()
         },
@@ -128,12 +140,12 @@ def main(argv: list[str] | None = None) -> None:
     }
 
     print("\n== per-procedure metrics ==")
-    for proc, buckets in sorted(per_proc.items()):
-        line = " ".join(f"{k}={np.mean(v):.6f}" for k, v in buckets.items())
+    for proc, means in proc_means.items():
+        line = " ".join(f"{k}={v:.6f}" for k, v in means.items())
         print(f"  {proc}: {line}")
-    print("== overall ==")
-    for k, v in overall.items():
-        print(f"  {k}: {np.mean(v):.6f} +- {np.std(v):.6f}")
+    print("== overall (across procedures, reference convention) ==")
+    for k, v in results["overall_metrics"].items():
+        print(f"  {k}: {v['mean']:.6f} +- {v['std']:.6f}")
 
     out_dir = os.environ.get("E3D_RESULTS_DIR", "test_lightning_results")
     os.makedirs(out_dir, exist_ok=True)
