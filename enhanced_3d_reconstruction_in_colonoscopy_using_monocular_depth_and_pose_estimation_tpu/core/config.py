@@ -78,11 +78,22 @@ def _set_path(cfg: dict, dotted: str, value: Any, create: bool = True) -> None:
 
 
 def _parse_value(text: str) -> Any:
-    """YAML-parse a scalar override value."""
+    """YAML-parse a scalar override value.
+
+    YAML 1.1 treats ``1e-5`` (no dot) as a string; Hydra-style overrides
+    expect a float, so numeric-looking strings are coerced.
+    """
     try:
-        return yaml.safe_load(text)
+        value = yaml.safe_load(text)
     except yaml.YAMLError:
         return text
+    if isinstance(value, str):
+        for cast in (int, float):
+            try:
+                return cast(value)
+            except ValueError:
+                continue
+    return value
 
 
 def _deep_merge(base: dict, extra: dict) -> dict:
