@@ -15,6 +15,13 @@ Layout rules (torch -> flax/NHWC):
 - Linear ``(O, I)`` -> Dense ``(I, O)``
 - LayerNorm/BatchNorm ``weight/bias`` -> ``scale/bias``; BN running stats ->
   ``batch_stats`` collection.
+
+Known limitation: ``vitg`` assumes the MLP FFN variant (ratio 4, hidden
+6144) — the configuration DAv2 instantiates (its builder passes
+``ffn_layer="mlp"``; the training logs in the reference record
+"[dinov2][INFO] using MLP layer as FFN"). A SwiGLU-packed giant checkpoint
+(stock dinov2 vit_giant2) would fail shape checks loudly rather than load
+wrong. No reference experiment uses vitg.
 """
 
 from __future__ import annotations
