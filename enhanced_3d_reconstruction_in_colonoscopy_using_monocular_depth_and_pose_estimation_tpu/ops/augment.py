@@ -5,9 +5,9 @@ The reference augments on CPU dataloader workers
 resize to 518, RandomHorizontalFlip, ColorJitter(hue=.2, contrast=.2,
 brightness=.2, saturation=.1), RandomAffine(degrees=0, translate=(.1,.1),
 scale=(.1,.9)), then ImageNet normalization. Depth targets get the resize
-only — the geometric augmentations are applied to the *image only* (a
-reference property we preserve by default; ``aligned=True`` applies
-flip/affine to the depth too for users who want geometric consistency).
+only — the geometric augmentations are applied to the *image only*, a
+reference property preserved faithfully here (the depth never sees the
+flip/affine, exactly as in ``simcol.py:122-135``).
 
 TPU-native: everything runs vmapped and jitted on device, with an explicit
 PRNG key per batch. ColorJitter matches torchvision semantics including the
@@ -38,7 +38,6 @@ class AugmentConfig(NamedTuple):
     hue: float = 0.2
     translate: tuple[float, float] = (0.1, 0.1)
     scale_range: tuple[float, float] = (0.1, 0.9)
-    aligned: bool = False  # apply geometric aug to depth too
 
 
 # --------------------------- color ops (HWC, [0,1]) ---------------------------

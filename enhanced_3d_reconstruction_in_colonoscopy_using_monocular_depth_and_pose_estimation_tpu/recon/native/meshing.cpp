@@ -341,8 +341,13 @@ int e3d_marching_tetrahedra(const float* field, int nx, int ny, int nz,
   *out_tris = static_cast<int32_t*>(std::malloc(mesh.tris.size() *
                                                 sizeof(int32_t)));
   if ((!*out_verts && !mesh.verts.empty()) ||
-      (!*out_tris && !mesh.tris.empty()))
+      (!*out_tris && !mesh.tris.empty())) {
+    std::free(*out_verts);
+    std::free(*out_tris);
+    *out_verts = nullptr;
+    *out_tris = nullptr;
     return 1;
+  }
   std::memcpy(*out_verts, mesh.verts.data(),
               mesh.verts.size() * sizeof(float));
   std::memcpy(*out_tris, mesh.tris.data(),

@@ -37,9 +37,10 @@ def _splat(points01: Array, normals: Array, grid: int):
 
     points01: (N, 3) in [0, 1]. Returns (V (3, G, G, G), W (G, G, G))."""
     pos = points01 * (grid - 1)
-    base = jnp.floor(pos).astype(jnp.int32)
+    # Clip BEFORE computing the fraction so boundary points splat into the
+    # last cell with frac=1 (consistent with _trilinear_gather).
+    base = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, grid - 2)
     frac = pos - base
-    base = jnp.clip(base, 0, grid - 2)
 
     field = jnp.zeros((3, grid, grid, grid), jnp.float32)
     weight = jnp.zeros((grid, grid, grid), jnp.float32)

@@ -191,7 +191,6 @@ class DepthTask:
             metrics["loss"] = loss_sum * inv_a
             return new_state, metrics
 
-        state_sh = None  # resolved lazily at first call
         batch_spec = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec(None, meshlib.DATA_AXIS))
         return step_fn, batch_spec
@@ -246,7 +245,8 @@ class DepthTask:
         Mirrors ``lightning_model_combined.py:199-217,372-391``: separate
         metric collections with ``SimCol/`` and ``C3VD/`` prefixes; C3VD
         l1/rmse are scaled x10 back to mm (training happens in the /10 cm
-        convention).
+        convention). Also returns the overall metrics so combined eval
+        needs a single forward pass.
         """
         if not hasattr(self, "_eval_combined"):
             def step_fn(params, batch):
@@ -256,6 +256,7 @@ class DepthTask:
                 mask = (gt >= self.min_depth) & (gt <= maxd)
                 source = batch["source"][:, None, None]
                 out = {"loss": silog_loss(pred, gt, mask)}
+                out.update(compute_depth_errors(pred, gt, mask))
                 for name, sid in (("SimCol", 0), ("C3VD", 1)):
                     m = mask & (source == sid)
                     metrics = compute_depth_errors(pred, gt, m)

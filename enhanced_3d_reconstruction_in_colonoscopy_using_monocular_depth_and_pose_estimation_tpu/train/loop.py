@@ -160,12 +160,11 @@ def evaluate_depth(task: DepthTask, params, loader, pre: DevicePreprocessor,
     src_weight: dict[str, float] = {}
     for batch in loader:
         prepped = pre(batch, train=False, max_depths=max_depths)
-        metrics = task.eval_step(params, prepped)
-        for k, v in metrics.items():
-            sums[k] = sums.get(k, 0.0) + float(v)
-        count += 1
         if "source" in prepped:
+            # One forward yields overall + per-source metrics.
             per_src = task.eval_step_combined(params, prepped)
+            for k in ("loss", "d1", "abs_rel", "rmse", "l1"):
+                sums[k] = sums.get(k, 0.0) + float(per_src[k])
             for name in ("SimCol", "C3VD"):
                 n = float(per_src[f"{name}/count"])
                 for metric in ("l1", "rmse", "abs_rel", "d1"):
@@ -173,6 +172,11 @@ def evaluate_depth(task: DepthTask, params, loader, pre: DevicePreprocessor,
                     src_sums[key] = src_sums.get(key, 0.0) \
                         + float(per_src[key]) * n
                     src_weight[key] = src_weight.get(key, 0.0) + n
+        else:
+            metrics = task.eval_step(params, prepped)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        count += 1
     out = {k: v / max(count, 1) for k, v in sums.items()}
     out.update({k: v / max(src_weight[k], 1e-12)
                 for k, v in src_sums.items()})
@@ -190,6 +194,7 @@ def fit_pose(
     seed: int = 42,
     max_steps: int | None = None,
     resume: bool = False,
+    log_every: int = 1,
 ):
     """Train the pose regressor; returns the final state.
 
@@ -213,6 +218,8 @@ def fit_pose(
             state = jax.device_put(restored)
             print(f"[fit_pose] resumed from step {int(state.step)}")
     lr_table = task.lr_table()
+    host_step = int(state.step)
+    log_every = max(1, log_every)
 
     stop = False
     for epoch in range(max_epochs):
@@ -222,13 +229,15 @@ def fit_pose(
             jbatch = {"input": jnp.asarray(batch["input"]),
                       "target": jnp.asarray(batch["target"])}
             state, metrics = task.train_step(state, jbatch)
-            step = int(state.step)
-            logger.log({"train_loss": metrics["loss"],
-                        **{f"Train/train_{k}": metrics[k]
-                           for k in ("ate", "rte", "rote")},
-                        "lr": float(lr_table[min(step - 1,
-                                                 len(lr_table) - 1)]),
-                        "epoch": epoch}, step=step)
+            step = host_step = host_step + 1
+            if step % log_every == 0 or (max_steps and step >= max_steps):
+                # Host sync only at logging boundaries (pipelined between).
+                logger.log({"train_loss": metrics["loss"],
+                            **{f"Train/train_{k}": metrics[k]
+                               for k in ("ate", "rte", "rote")},
+                            "lr": float(lr_table[min(step - 1,
+                                                     len(lr_table) - 1)]),
+                            "epoch": epoch}, step=step)
             if max_steps and step >= max_steps:
                 stop = True
                 break

@@ -62,10 +62,10 @@ class PoseTask:
         self._train_step = None
         self._eval_step = None
 
-    def init_state(self, rng: Array, image_hw: tuple[int, int],
-                   in_channels: int = 8) -> PoseTrainState:
+    def init_state(self, rng: Array,
+                   image_hw: tuple[int, int]) -> PoseTrainState:
         h, w = image_hw
-        sample = jnp.zeros((1, h, w, in_channels), jnp.float32)
+        sample = jnp.zeros((1, h, w, self.model.in_channels), jnp.float32)
         init_rng, state_rng = jax.random.split(rng)
         variables = self.model.init(init_rng, sample, train=False)
         params = variables["params"]
