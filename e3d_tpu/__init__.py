@@ -21,12 +21,23 @@ _CANONICAL = (
 class _AliasLoader(importlib.abc.Loader):
     def __init__(self, real_name: str):
         self._real_name = real_name
+        self._orig_spec = None
+        self._orig_package = None
 
     def create_module(self, spec):
-        return importlib.import_module(self._real_name)
+        module = importlib.import_module(self._real_name)
+        # The import machinery will overwrite __spec__/__package__ with the
+        # alias spec; remember the canonical ones to restore (otherwise
+        # later relative imports inside the module warn about
+        # __package__ != __spec__.parent).
+        self._orig_spec = module.__spec__
+        self._orig_package = module.__package__
+        return module
 
     def exec_module(self, module):  # already executed under canonical name
-        pass
+        if self._orig_spec is not None:
+            module.__spec__ = self._orig_spec
+            module.__package__ = self._orig_package
 
 
 class _AliasFinder(importlib.abc.MetaPathFinder):
