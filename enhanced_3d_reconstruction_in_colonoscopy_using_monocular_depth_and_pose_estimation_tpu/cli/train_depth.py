@@ -131,6 +131,7 @@ def main(argv: list[str] | None = None) -> None:
         max_steps=(int(cfg.trainer.max_steps)
                    if "max_steps" in cfg.trainer else None),
         log_every=int(cfg.trainer.get("log_every_n_steps", 1)),
+        resume=bool(cfg.trainer.get("resume", False)),
     )
     logger.close()
 
