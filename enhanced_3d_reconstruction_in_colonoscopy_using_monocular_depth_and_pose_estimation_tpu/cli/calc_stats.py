@@ -18,7 +18,6 @@ import numpy as np
 
 def main(argv=None) -> None:
     from ..data import C3VDDataModule, SimColDataModule
-    from ..data.preprocess import host_resize_depth, host_resize_image
 
     p = argparse.ArgumentParser()
     p.add_argument("--ds", default="simcol", choices=["simcol", "c3vd"])

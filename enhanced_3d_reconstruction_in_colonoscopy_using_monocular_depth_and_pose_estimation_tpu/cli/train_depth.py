@@ -15,7 +15,6 @@ from __future__ import annotations
 import os
 import sys
 
-import jax
 
 
 def build_datamodule(dataset_cfg: dict):

@@ -20,7 +20,6 @@ import numpy as np
 
 
 def main(argv: list[str] | None = None) -> None:
-    import jax
     import jax.numpy as jnp
 
     from ..core import config as cfglib

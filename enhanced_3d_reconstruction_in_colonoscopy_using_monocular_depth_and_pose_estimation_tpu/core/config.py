@@ -16,7 +16,6 @@ reference's ergonomics:
 from __future__ import annotations
 
 import copy
-import json
 import os
 import re
 from typing import Any

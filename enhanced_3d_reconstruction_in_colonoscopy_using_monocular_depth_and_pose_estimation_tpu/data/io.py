@@ -20,7 +20,6 @@ semantics of ``simcol.py`` / ``c3vd.py``:
 from __future__ import annotations
 
 import os
-from typing import Sequence
 
 import numpy as np
 

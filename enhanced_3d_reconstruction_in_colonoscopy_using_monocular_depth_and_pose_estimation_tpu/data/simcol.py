@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 from typing import Any
 
-import numpy as np
 
 from . import io as dio
 from .loader import PrefetchLoader

@@ -26,11 +26,11 @@ wrong. No reference experiment uses vitg.
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Mapping
 
 import numpy as np
 
-from .dinov2 import VIT_ARCHS, INTERMEDIATE_LAYER_IDX
+from .dinov2 import VIT_ARCHS
 from .depth_anything import MODEL_CONFIGS
 
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dinov2 import DinoViT, INTERMEDIATE_LAYER_IDX, VIT_ARCHS, PATCH_SIZE
+from .dinov2 import DinoViT, VIT_ARCHS, PATCH_SIZE
 from .dpt import DPTHead
 from ..ops.resize import resize_antialias, resize_align_corners
 

@@ -9,7 +9,6 @@ picks an implementation per platform and exposes one functional API.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
