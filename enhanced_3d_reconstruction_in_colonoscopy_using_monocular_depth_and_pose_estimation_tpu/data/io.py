@@ -76,6 +76,29 @@ def _native_png():
     return _NATIVE_PNG
 
 
+def process_images(train_vids: list[str], val_vids: list[str],
+                   test_vids: list[str], input_path: str):
+    """Legacy split assembler (reference ``utils.process_images``
+    ``:126-189``): collect depth/rgb frame lists per split folder list and
+    drop the validation blacklist. Returns
+    (train_depth, train_rgb, val_depth, val_rgb, test_depth, test_rgb)."""
+    splits = []
+    for vids in (train_vids, val_vids, test_vids):
+        depth, rgb = [], []
+        for vid in vids:
+            d, r = load_frames(vid)
+            depth.extend(d)
+            rgb.extend(r)
+        splits.append((depth, rgb))
+    val_depth, val_rgb = splits[1]
+    val_rgb, val_depth, _ = remove_bad_frames(input_path, val_rgb, val_depth)
+    splits[1] = (val_depth, val_rgb)
+    for depth, rgb in splits:
+        assert len(depth) == len(rgb), "Mismatch in split data"
+    return (splits[0][0], splits[0][1], splits[1][0], splits[1][1],
+            splits[2][0], splits[2][1])
+
+
 def decode_rgb(path: str) -> np.ndarray:
     """RGB uint8 (H, W, 3). Native C++ PNG decoder (data/native) with a
     PIL fallback; drops alpha."""
