@@ -23,11 +23,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+# numpy constants: module-level device arrays would force backend init at
+# import time (breaks host-only imports, e.g. fixture generation).
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 class AugmentConfig(NamedTuple):

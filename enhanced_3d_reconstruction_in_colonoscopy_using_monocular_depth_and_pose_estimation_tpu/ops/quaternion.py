@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-IDENTITY_QUAT = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=jnp.float32)
+# Plain tuple: a module-level device array would force backend init
+# at import time (breaks host-only imports of the package).
+IDENTITY_QUAT = (0.0, 0.0, 0.0, 1.0)
 
 
 def normalize(q: Array, eps: float = 1e-8) -> Array:
@@ -33,7 +35,7 @@ def sanitize(q: Array, eps: float = 1e-8) -> Array:
     (``evaluation.py:130-137`` and ``evaluation.py:331-338``).
     """
     n = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    ident = jnp.broadcast_to(IDENTITY_QUAT.astype(q.dtype), q.shape)
+    ident = jnp.broadcast_to(jnp.asarray(IDENTITY_QUAT, q.dtype), q.shape)
     return jnp.where(n < eps, ident, q)
 
 
@@ -148,7 +150,8 @@ def compose_poses(relative_poses: Array, initial_pose: Array | None = None) -> A
     """
     relative_poses = jnp.asarray(relative_poses, dtype=jnp.float32)
     if initial_pose is None:
-        initial_pose = jnp.concatenate([jnp.zeros(3, jnp.float32), IDENTITY_QUAT])
+        initial_pose = jnp.asarray([0.0, 0.0, 0.0] + list(IDENTITY_QUAT),
+                                   jnp.float32)
     initial_pose = jnp.asarray(initial_pose, jnp.float32).reshape(7)
 
     t_rel = relative_poses[:, :3]
