@@ -1,0 +1,65 @@
+"""Streaming serving engine: batching, mixed resolutions, error paths,
+consistency with the single-frame path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import e3d_tpu  # noqa: F401
+from e3d_tpu.models import build_depth_model
+from e3d_tpu.models.depth_anything import infer_image
+from e3d_tpu.serving import DepthServingEngine
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 56, 56, 3)))["params"]
+    return model, params
+
+
+def test_serving_matches_single_frame(model_and_params, rng):
+    model, params = model_and_params
+    frames = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+              for _ in range(5)]
+    with DepthServingEngine(model, params, input_size=56,
+                            batch_size=4) as engine:
+        futures = engine.submit_many(frames)
+        results = [f.result(timeout=120) for f in futures]
+    for frame, depth in zip(frames, results):
+        assert depth.shape == (64, 64)
+        expected = infer_image(model, params, frame, input_size=56)
+        np.testing.assert_allclose(depth, expected, atol=1e-4)
+
+
+def test_serving_mixed_resolutions(model_and_params, rng):
+    model, params = model_and_params
+    small = rng.integers(0, 255, size=(48, 48, 3), dtype=np.uint8)
+    large = rng.integers(0, 255, size=(64, 80, 3), dtype=np.uint8)
+    with DepthServingEngine(model, params, input_size=56,
+                            batch_size=4, max_delay_s=0.01) as engine:
+        f1 = engine.submit(small)
+        f2 = engine.submit(large)
+        f3 = engine.submit(small)
+        assert f1.result(timeout=120).shape == (48, 48)
+        assert f2.result(timeout=120).shape == (64, 80)
+        assert f3.result(timeout=120).shape == (48, 48)
+
+
+def test_serving_error_propagates(model_and_params):
+    model, params = model_and_params
+    with DepthServingEngine(model, params, input_size=56,
+                            batch_size=2) as engine:
+        fut = engine.submit(np.zeros((8,), np.uint8))  # malformed frame
+        with pytest.raises(Exception):
+            fut.result(timeout=60)
+
+
+def test_serving_closed_rejects(model_and_params):
+    model, params = model_and_params
+    engine = DepthServingEngine(model, params, input_size=56)
+    engine.close()
+    with pytest.raises(RuntimeError):
+        engine.submit(np.zeros((56, 56, 3), np.uint8))
