@@ -1,0 +1,99 @@
+"""Streaming/watch-folder depth serving CLI.
+
+TPU-native serving extension of the reference's one-shot ``run.py`` flow:
+continuously watches a directory, batches new frames through the
+``DepthServingEngine`` and writes depth PNG/NPY outputs (same output
+conventions as ``cli/infer.py`` / ``run.py``).
+
+Usage:
+    python -m ...cli.serve --encoder vitl --load-from ckpt --max-depth 20 \
+        -i incoming_frames/ -o depths/ [--batch-size 8] [--poll 0.5]
+        [--once]  # process what's there and exit (no watching)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    import cv2
+    import jax
+
+    from ..media.colormap import colorize_depth
+    from ..models.convert import convert_dav2, load_torch_state_dict
+    from ..models.depth_anything import build_depth_model
+    from ..serving import DepthServingEngine
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--encoder", default="vitl",
+                   choices=["vits", "vitb", "vitl", "vitg", "vitt"])
+    p.add_argument("--load-from", default=None)
+    p.add_argument("--max-depth", type=float, default=20.0)
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--outdir", required=True)
+    p.add_argument("--input-size", type=int, default=518)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--poll", type=float, default=0.5,
+                   help="directory poll interval (seconds)")
+    p.add_argument("--once", action="store_true",
+                   help="process the current directory contents and exit")
+    p.add_argument("--save-numpy", action="store_true")
+    p.add_argument("--grayscale", action="store_true")
+    args = p.parse_args(argv)
+
+    model = build_depth_model(args.encoder, max_depth=args.max_depth)
+    if args.load_from:
+        params = convert_dav2(load_torch_state_dict(args.load_from),
+                              args.encoder)
+    else:
+        print("[serve] no --load-from; random init (smoke mode)")
+        params = model.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 518, 518, 3), np.float32))["params"]
+
+    os.makedirs(args.outdir, exist_ok=True)
+    processed: set[str] = set()
+
+    def out_paths(path: str):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        return (os.path.join(args.outdir, stem + ".png"),
+                os.path.join(args.outdir, stem + ".npy"))
+
+    with DepthServingEngine(model, params, input_size=args.input_size,
+                            batch_size=args.batch_size) as engine:
+        while True:
+            frames = sorted(
+                f for pattern in ("*.png", "*.jpg", "*.jpeg")
+                for f in glob.glob(os.path.join(args.input, pattern)))
+            fresh = [f for f in frames
+                     if f not in processed
+                     and not os.path.exists(out_paths(f)[0])]
+            inflight = []
+            for path in fresh:
+                raw = cv2.imread(path)
+                if raw is None:
+                    continue
+                inflight.append((path, raw, engine.submit(raw)))
+                processed.add(path)
+            for path, raw, fut in inflight:
+                depth = fut.result()
+                png_path, npy_path = out_paths(path)
+                if args.save_numpy:
+                    np.save(npy_path, depth)
+                cv2.imwrite(png_path,
+                            colorize_depth(depth, grayscale=args.grayscale))
+            if inflight:
+                print(f"[serve] processed {len(inflight)} frames "
+                      f"({len(processed)} total)")
+            if args.once:
+                break
+            time.sleep(args.poll)
+
+
+if __name__ == "__main__":
+    main()
