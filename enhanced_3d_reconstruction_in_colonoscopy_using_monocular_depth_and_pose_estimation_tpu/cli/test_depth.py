@@ -37,7 +37,7 @@ def parse_procedure(dataset_field: str) -> str:
     return f"{colon}/{frame}"
 
 
-def load_params(checkpoint_path: str, encoder: str, task):
+def load_params(checkpoint_path: str, encoder: str, task, size: int = 518):
     """torch .ckpt/.pth (converted) or an Orbax checkpoint dir."""
     from ..models.convert import convert_dav2, load_torch_state_dict
 
@@ -47,7 +47,6 @@ def load_params(checkpoint_path: str, encoder: str, task):
         from ..core.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(checkpoint_path)
-        size = 518
         template = task.init_state(jax.random.PRNGKey(0), (size, size))
         state = mgr.restore_latest(template)
         if state is None:
@@ -91,7 +90,8 @@ def main(argv: list[str] | None = None) -> None:
         policy=policy_from_precision(str(cfg.trainer.precision)),
         grad_checkpoint=False,
     )
-    params = load_params(checkpoint_path, cfg.model.encoder, task)
+    params = load_params(checkpoint_path, cfg.model.encoder, task,
+                         size=int(cfg.dataset.size))
     params = jax.device_put(params)
 
     pre = DevicePreprocessor(size=datamodule.size)
