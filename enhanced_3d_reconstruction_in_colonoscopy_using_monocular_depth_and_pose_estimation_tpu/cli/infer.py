@@ -47,7 +47,9 @@ def enumerate_inputs(args) -> list[str]:
     if os.path.isfile(args.img_path):
         if args.img_path.endswith("txt"):
             with open(args.img_path, "r", encoding="utf-8") as f:
-                filenames = f.read().splitlines()
+                filenames = [line for line in f.read().splitlines() if line]
+            if args.outdir is None:
+                args.outdir = str(Path(args.img_path).parent)
         else:
             filenames = [args.img_path]
             if args.outdir is None:
@@ -83,22 +85,14 @@ def output_paths(args, filename: str) -> tuple[Path, str]:
 
 def main(argv=None) -> None:
     import cv2
-    import jax
 
     from ..media.colormap import colorize_depth, side_by_side
-    from ..models.convert import convert_dav2, load_torch_state_dict
-    from ..models.depth_anything import build_depth_model, infer_image
+    from ..models.convert import load_or_init_depth_params
+    from ..models.depth_anything import infer_image
 
     args = parse_args(argv)
-    model = build_depth_model(args.encoder, max_depth=args.max_depth)
-    if args.load_from:
-        params = convert_dav2(load_torch_state_dict(args.load_from),
-                              args.encoder)
-    else:
-        print("[infer] no --load-from; using random init (smoke mode)")
-        params = model.init(jax.random.PRNGKey(0),
-                            np.zeros((1, 518, 518, 3), np.float32))["params"]
-    params = jax.device_put(params)
+    model, params = load_or_init_depth_params(args.encoder, args.max_depth,
+                                              args.load_from)
 
     filenames = enumerate_inputs(args)
     os.makedirs(args.outdir, exist_ok=True)
@@ -124,31 +118,50 @@ def main(argv=None) -> None:
         else:
             cv2.imwrite(str(png_path), side_by_side(raw, rendered))
 
+    unreadable = 0
     if args.batch_size > 1:
         from ..models.depth_anything import infer_images_batched
 
-        # Group by resolution, then run device batches.
-        by_shape: dict[tuple, list] = {}
+        # Stream in resolution-keyed chunks of batch_size: decode lazily,
+        # flush each full chunk, never hold the whole input set in memory.
+        chunks: dict[tuple, list] = {}
+
+        def flush(shape):
+            group = chunks.pop(shape, [])
+            if not group:
+                return
+            depths = infer_images_batched(
+                model, params, [raw for _, raw in group],
+                args.input_size, args.batch_size)
+            for (item, raw), depth in zip(group, depths):
+                write_outputs(*item, raw, depth)
+
         for item in todo:
             raw = cv2.imread(item[0])
-            by_shape.setdefault(raw.shape[:2], []).append((item, raw))
-        for _, group in by_shape.items():
-            raws = [raw for _, raw in group]
-            depths = infer_images_batched(model, params, raws,
-                                          args.input_size, args.batch_size)
-            for ((filename, out_folder, base_name), raw), depth in zip(
-                    group, depths):
-                write_outputs(filename, out_folder, base_name, raw, depth)
+            if raw is None:
+                print(f"Warning: unreadable image skipped: {item[0]}")
+                unreadable += 1
+                continue
+            shape = raw.shape[:2]
+            chunks.setdefault(shape, []).append((item, raw))
+            if len(chunks[shape]) >= args.batch_size:
+                flush(shape)
+        for shape in list(chunks):
+            flush(shape)
     else:
         for filename, out_folder, base_name in todo:
             raw = cv2.imread(filename)
+            if raw is None:
+                print(f"Warning: unreadable image skipped: {filename}")
+                unreadable += 1
+                continue
             depth = infer_image(model, params, raw, args.input_size)
             write_outputs(filename, out_folder, base_name, raw, depth)
 
     print("\nProcessing complete:")
     print(f"- Total files: {len(filenames)}")
     print(f"- Skipped existing: {skipped}")
-    print(f"- Newly processed: {len(filenames) - skipped}")
+    print(f"- Newly processed: {len(filenames) - skipped - unreadable}")
 
 
 if __name__ == "__main__":

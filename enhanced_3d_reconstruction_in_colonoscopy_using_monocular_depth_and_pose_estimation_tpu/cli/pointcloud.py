@@ -99,9 +99,12 @@ def main(argv=None) -> None:
 
     all_pts, all_cols = [], []
     pose_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    cam_cache: dict[str, tuple[float, float, float, float]] = {}
     for rgb_path, depth_path in pairs:
         cam_f, pos_f, rot_f = get_procedure_files(rgb_path, args.input)
-        fx, fy, cx, cy = load_intrinsics(cam_f)
+        if cam_f not in cam_cache:
+            cam_cache[cam_f] = load_intrinsics(cam_f)
+        fx, fy, cx, cy = cam_cache[cam_f]
         if pos_f not in pose_cache:
             pose_cache[pos_f] = (np.loadtxt(pos_f), np.loadtxt(rot_f))
         positions, quats = pose_cache[pos_f]

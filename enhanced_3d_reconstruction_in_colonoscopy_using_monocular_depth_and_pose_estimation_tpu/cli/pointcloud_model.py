@@ -22,11 +22,10 @@ import numpy as np
 
 def main(argv=None) -> None:
     import cv2
-    import jax
     import jax.numpy as jnp
 
-    from ..models.convert import convert_dav2, load_torch_state_dict
-    from ..models.depth_anything import build_depth_model, infer_image
+    from ..models.convert import load_or_init_depth_params
+    from ..models.depth_anything import infer_image
     from ..recon import backproject_depth, load_intrinsics, write_ply
 
     p = argparse.ArgumentParser()
@@ -40,15 +39,8 @@ def main(argv=None) -> None:
     p.add_argument("--max-frames", type=int, default=0)
     args = p.parse_args(argv)
 
-    model = build_depth_model(args.encoder, max_depth=args.max_depth)
-    if args.load_from:
-        params = convert_dav2(load_torch_state_dict(args.load_from),
-                              args.encoder)
-    else:
-        print("[pointcloud_model] no --load-from; random init (smoke mode)")
-        params = model.init(jax.random.PRNGKey(0),
-                            np.zeros((1, 518, 518, 3), np.float32))["params"]
-    params = jax.device_put(params)
+    model, params = load_or_init_depth_params(args.encoder, args.max_depth,
+                                              args.load_from)
 
     frames = sorted(glob.glob(os.path.join(
         args.input, "SyntheticColon_*", "Frames_*", "FrameBuffer_*.png")))

@@ -23,11 +23,9 @@ import numpy as np
 
 def main(argv=None) -> None:
     import cv2
-    import jax
 
     from ..media.colormap import colorize_depth
-    from ..models.convert import convert_dav2, load_torch_state_dict
-    from ..models.depth_anything import build_depth_model
+    from ..models.convert import load_or_init_depth_params
     from ..serving import DepthServingEngine
 
     p = argparse.ArgumentParser()
@@ -47,17 +45,12 @@ def main(argv=None) -> None:
     p.add_argument("--grayscale", action="store_true")
     args = p.parse_args(argv)
 
-    model = build_depth_model(args.encoder, max_depth=args.max_depth)
-    if args.load_from:
-        params = convert_dav2(load_torch_state_dict(args.load_from),
-                              args.encoder)
-    else:
-        print("[serve] no --load-from; random init (smoke mode)")
-        params = model.init(jax.random.PRNGKey(0),
-                            np.zeros((1, 518, 518, 3), np.float32))["params"]
+    model, params = load_or_init_depth_params(args.encoder, args.max_depth,
+                                              args.load_from)
 
     os.makedirs(args.outdir, exist_ok=True)
     processed: set[str] = set()
+    stem_owner: dict[str, str] = {}  # guard a.png / a.jpg output collision
 
     def out_paths(path: str):
         stem = os.path.splitext(os.path.basename(path))[0]
@@ -75,6 +68,13 @@ def main(argv=None) -> None:
                      and not os.path.exists(out_paths(f)[0])]
             inflight = []
             for path in fresh:
+                stem = os.path.splitext(os.path.basename(path))[0]
+                owner = stem_owner.setdefault(stem, path)
+                if owner != path:
+                    print(f"[serve] skipping {path}: output stem collides "
+                          f"with {owner}")
+                    processed.add(path)
+                    continue
                 raw = cv2.imread(path)
                 if raw is None:
                     continue

@@ -118,6 +118,8 @@ def decode_rgb(path: str) -> np.ndarray:
     arr = np.asarray(Image.open(path))
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
+    if arr.dtype == np.uint16:  # same downcast as the native path
+        arr = (arr // 256).astype(np.uint8)
     return np.ascontiguousarray(arr[:, :, :3])
 
 

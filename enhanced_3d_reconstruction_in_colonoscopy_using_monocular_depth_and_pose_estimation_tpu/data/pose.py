@@ -86,8 +86,7 @@ class PoseDataset:
                 # construction, keeping original frame numbers so pairs
                 # never span a removed gap (the reference's post-hoc
                 # removal leaves stale indices; divergence documented).
-                import os as _os
-                bad = {_os.path.join(data_dir, f)
+                bad = {os.path.join(data_dir, f)
                        for f in dio.BAD_VAL_FRAMES}
                 keep = [i for i, p in enumerate(rgb_frames) if p not in bad]
                 rgb_frames = [rgb_frames[i] for i in keep]

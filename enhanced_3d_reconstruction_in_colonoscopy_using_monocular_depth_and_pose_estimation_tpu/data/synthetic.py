@@ -79,8 +79,6 @@ def make_simcol_fixture(root: str, n_procedures: int = 2,
 def make_c3vd_fixture(root: str, n_scenes: int = 1, frames: int = 4,
                       hw: int = 64, seed: int = 0) -> str:
     """Build ``<root>/<scene>/...`` with color PNG + depth tiff pairs."""
-    import numpy as np
-
     rng = np.random.default_rng(seed)
     scenes = []
     for sidx in range(n_scenes):

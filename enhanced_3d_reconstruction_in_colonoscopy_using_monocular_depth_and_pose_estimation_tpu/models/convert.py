@@ -34,6 +34,24 @@ from .dinov2 import VIT_ARCHS
 from .depth_anything import MODEL_CONFIGS
 
 
+def load_or_init_depth_params(encoder: str, max_depth: float,
+                              load_from: str | None):
+    """Build the depth model and either convert a torch checkpoint or fall
+    back to a random init (shared by the infer / pointcloud / serve CLIs)."""
+    import jax
+
+    from .depth_anything import build_depth_model
+
+    model = build_depth_model(encoder, max_depth=max_depth)
+    if load_from:
+        params = convert_dav2(load_torch_state_dict(load_from), encoder)
+    else:
+        print(f"[{encoder}] no checkpoint given; random init (smoke mode)")
+        params = model.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 518, 518, 3), np.float32))["params"]
+    return model, jax.device_put(params)
+
+
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     """Load a torch checkpoint to numpy, applying reference prefix fixups."""
     import torch

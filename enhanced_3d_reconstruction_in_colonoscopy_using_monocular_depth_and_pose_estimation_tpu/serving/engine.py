@@ -45,7 +45,9 @@ class DepthServingEngine:
         self.batch_size = batch_size
         self.max_delay_s = max_delay_s
         self._queue: queue.Queue = queue.Queue()
+        self._deferred: list = []  # worker-local: other-resolution frames
         self._closed = False
+        self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -53,19 +55,23 @@ class DepthServingEngine:
 
     def submit(self, bgr: np.ndarray) -> Future:
         """Submit one BGR uint8 frame; resolves to an (H, W) f32 depth map."""
-        if self._closed:
-            raise RuntimeError("engine is closed")
         fut: Future = Future()
-        self._queue.put((bgr, fut))
+        with self._lock:  # closed-check + put must be atomic vs close()
+            if self._closed:
+                raise RuntimeError("engine is closed")
+            self._queue.put((bgr, fut))
         return fut
 
     def submit_many(self, frames: Sequence[np.ndarray]) -> list[Future]:
         return [self.submit(f) for f in frames]
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)
-        self._worker.join(timeout=30)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
+        self._worker.join(timeout=60)
 
     def __enter__(self):
         return self
@@ -77,14 +83,30 @@ class DepthServingEngine:
 
     def _collect_batch(self):
         """Block for one item, then greedily batch same-resolution frames
-        until batch_size or max_delay_s."""
-        first = self._queue.get()
-        if first is None:
-            return None
+        until batch_size or max_delay_s. Other-resolution frames go to a
+        worker-local deferred list (NOT back onto the queue — a tail
+        re-queue would land behind the shutdown sentinel and starve
+        minority resolutions). Returns None only once everything,
+        including deferred frames, has been served."""
+        if self._deferred:
+            first = self._deferred.pop(0)
+        else:
+            first = self._queue.get()
+            if first is None:
+                if self._deferred:  # drained sentinel before deferred work
+                    self._queue.put(None)  # re-arm for the next round
+                    first = self._deferred.pop(0)
+                else:
+                    return None
         items = [first]
-        deadline = time.monotonic() + self.max_delay_s
         shape = first[0].shape
-        pending = []
+        # deferred frames of the same shape join this batch immediately
+        same = [d for d in self._deferred if d[0].shape == shape]
+        for d in same[: self.batch_size - 1]:
+            self._deferred.remove(d)
+            items.append(d)
+        deadline = time.monotonic() + self.max_delay_s
+        saw_sentinel = False
         while len(items) < self.batch_size:
             timeout = deadline - time.monotonic()
             if timeout <= 0:
@@ -94,14 +116,14 @@ class DepthServingEngine:
             except queue.Empty:
                 break
             if nxt is None:
-                pending.append(None)
+                saw_sentinel = True
                 break
             if nxt[0].shape != shape:
-                pending.append(nxt)  # different resolution: next batch
-                break
+                self._deferred.append(nxt)
+                continue
             items.append(nxt)
-        for p in pending:
-            self._queue.put(p)
+        if saw_sentinel:
+            self._queue.put(None)  # keep shutdown pending until drained
         return items
 
     def _run(self) -> None:

@@ -48,6 +48,22 @@ def test_serving_mixed_resolutions(model_and_params, rng):
         assert f3.result(timeout=120).shape == (48, 48)
 
 
+def test_serving_mixed_resolution_then_close(model_and_params, rng):
+    """A deferred other-resolution frame must still resolve when close()
+    follows immediately (regression: tail re-queue dropped it behind the
+    shutdown sentinel)."""
+    model, params = model_and_params
+    a = rng.integers(0, 255, size=(48, 48, 3), dtype=np.uint8)
+    b = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    engine = DepthServingEngine(model, params, input_size=56, batch_size=4,
+                                max_delay_s=0.5)
+    fa = engine.submit(a)
+    fb = engine.submit(b)
+    engine.close()
+    assert fa.result(timeout=120).shape == (48, 48)
+    assert fb.result(timeout=120).shape == (64, 64)
+
+
 def test_serving_error_propagates(model_and_params):
     model, params = model_and_params
     with DepthServingEngine(model, params, input_size=56,
