@@ -23,6 +23,7 @@ via the Pallas interpreter.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +32,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-BLOCK_Q = 128
+# Tuning knobs (env-overridable for perf sweeps; defaults are the tuned
+# v5e values). BLOCK_Q is the query-block sublane size (multiple of 16 for
+# bf16); budgets feed ``_head_block``.
+BLOCK_Q = int(os.environ.get("E3D_FLASH_BLOCK_Q", "128"))
+FWD_BUDGET = int(os.environ.get("E3D_FLASH_FWD_BUDGET_KB", "3072")) * 1024
+BWD_BUDGET = int(os.environ.get("E3D_FLASH_BWD_BUDGET_KB", "768")) * 1024
+# exp/softmax-weights in bf16 (f32 statistics kept): halves VPU exp cost.
+EXP_BF16 = os.environ.get("E3D_FLASH_EXP_BF16", "0") == "1"
+# Perf-attribution knock-outs (WRONG NUMERICS — sweep diagnostics only).
+_NO_EXP = os.environ.get("E3D_FLASH_NO_EXP", "0") == "1"
+_NO_MASK = os.environ.get("E3D_FLASH_NO_MASK", "0") == "1"
+_NO_SCALE = os.environ.get("E3D_FLASH_NO_SCALE", "0") == "1"
+_NO_MAXSUB = os.environ.get("E3D_FLASH_NO_MAXSUB", "0") == "1"
 NEG_INF = -1e30
 
 
@@ -69,11 +82,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         q = q_ref[h]                                        # (BQ, D)
         k = k_ref[h]                                        # (Np, D)
         v = v_ref[h]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        s = _mask_cols(s, n_valid)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if not _NO_SCALE:
+            s = s * scale
+        if not _NO_MASK:
+            s = _mask_cols(s, n_valid)
+        if _NO_MAXSUB:
+            m = jnp.zeros((s.shape[0], 1), jnp.float32)
+        else:
+            m = jnp.max(s, axis=1, keepdims=True)
+        if _NO_EXP:
+            p = s - m
+            l = jnp.sum(p, axis=1, keepdims=True)
+        elif EXP_BF16:
+            # exp on bf16: the softmax weights feed a bf16 matmul anyway;
+            # row statistics (m, l) stay f32.
+            p = jnp.exp((s - m).astype(jnp.bfloat16))
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        else:
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
         o = jnp.dot(p.astype(v.dtype), v,
                     preferred_element_type=jnp.float32) / l
         o_ref[h] = o.astype(o_ref.dtype)
@@ -84,7 +112,7 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
          interpret: bool) -> tuple[Array, Array]:
     """q3/k3/v3: (BH, Np, D) padded. Returns (out, lse (BH, Np, 1))."""
     bh, np_, d = q3.shape
-    hb = _head_block(bh, np_, d, q3.dtype.itemsize)
+    hb = _head_block(bh, np_, d, q3.dtype.itemsize, budget=FWD_BUDGET)
     grid = (bh // hb, np_ // BLOCK_Q)
     blk = pl.BlockSpec((hb, BLOCK_Q, d), lambda b, i: (b, i, 0),
                        memory_space=pltpu.VMEM)
@@ -157,7 +185,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
     q3, k3, v3, out, lse = residuals
     bh, np_, d = q3.shape
-    hb = _head_block(bh, np_, d, q3.dtype.itemsize, budget=768 * 1024)
+    hb = _head_block(bh, np_, d, q3.dtype.itemsize, budget=BWD_BUDGET)
     do = g.astype(q3.dtype)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)                 # (BH, Np, 1)

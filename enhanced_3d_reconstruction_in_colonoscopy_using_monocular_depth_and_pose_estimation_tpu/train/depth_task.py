@@ -156,19 +156,27 @@ class DepthTask:
 
     def _build_train_step(self):
         def step_fn(state: DepthTrainState, batch: dict) -> tuple:
-            """batch leaves have shape (A, mb, ...): A = grad-accum chunks."""
+            """batch leaves have shape (A, mb, ...): A = grad-accum chunks.
+
+            An optional ``weight`` (A,) vector down-weights padded chunks so
+            a trailing partial accumulation group at epoch end still steps
+            the optimizer (Lightning steps on the remainder; see
+            ``fit_depth``). Grads/metrics are weighted means over chunks.
+            """
             accum = batch["image"].shape[0]
             mb = batch["image"].shape[1]
 
             def micro(carry, xs):
                 grads_acc, loss_acc, met_acc = carry
-                image, depth, maxd = xs
+                image, depth, maxd, wi = xs
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_and_metrics, has_aux=True)(
                         state.params, image, depth, maxd)
-                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                met_acc = jax.tree.map(jnp.add, met_acc, metrics)
-                return (grads_acc, loss_acc + loss, met_acc), None
+                grads_acc = jax.tree.map(lambda a, g: a + g * wi,
+                                         grads_acc, grads)
+                met_acc = jax.tree.map(lambda a, m: a + m * wi,
+                                       met_acc, metrics)
+                return (grads_acc, loss_acc + loss * wi, met_acc), None
 
             zero_grads = jax.tree.map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
@@ -177,11 +185,12 @@ class DepthTask:
             maxd = batch.get(
                 "max_depth",
                 jnp.full((accum, mb), self.max_depth, jnp.float32))
+            weight = batch.get("weight", jnp.ones((accum,), jnp.float32))
             (grads, loss_sum, met_sum), _ = jax.lax.scan(
                 micro, (zero_grads, jnp.zeros((), jnp.float32), zero_mets),
-                (batch["image"], batch["depth"], maxd))
+                (batch["image"], batch["depth"], maxd, weight))
 
-            inv_a = 1.0 / accum
+            inv_a = 1.0 / jnp.maximum(jnp.sum(weight), 1e-6)
             grads = jax.tree.map(lambda g: g * inv_a, grads)
             updates, opt_state = self._optimizer.update(
                 grads, state.opt_state, state.params)
@@ -210,6 +219,9 @@ class DepthTask:
             }
             if "max_depth" in batch:
                 batch_shardings["max_depth"] = batch_spec
+            if "weight" in batch:
+                batch_shardings["weight"] = \
+                    meshlib.replicated_sharding(self.mesh)
             metric_sh = meshlib.replicated_sharding(self.mesh)
             self._train_step = jax.jit(
                 step_fn,

@@ -27,13 +27,17 @@ from .depth_task import DepthTask, DepthTrainState
 
 def _group_accum(loader: Iterable[dict], accum: int):
     """Group ``accum`` consecutive loader batches (Lightning grad-accum
-    semantics); yields lists of batches, dropping a trailing partial group."""
+    semantics); a trailing partial group is yielded too — Lightning steps
+    the optimizer on the epoch remainder (``fit_depth`` pads it to static
+    shape and masks the padding via per-chunk weights)."""
     group: list[dict] = []
     for batch in loader:
         group.append(batch)
         if len(group) == accum:
             yield group
             group = []
+    if group:
+        yield group
 
 
 def fit_depth(
@@ -79,7 +83,7 @@ def fit_depth(
 
     train_loader = datamodule.train_loader()
     accum = task.grad_accum
-    steps_per_epoch = max(1, len(train_loader) // accum)
+    steps_per_epoch = max(1, -(-len(train_loader) // accum))
     val_every = max(1, int(steps_per_epoch * val_check_interval))
     combined = max_depths is not None
 
@@ -89,6 +93,11 @@ def fit_depth(
             break
         t_epoch = time.time()
         for group in _group_accum(iter(train_loader), accum):
+            n_real = len(group)
+            if n_real < accum:
+                # Trailing partial group: pad to static shape (no
+                # recompile), mask padding with zero weights below.
+                group = group + [group[-1]] * (accum - n_real)
             rng, prep_rng = jax.random.split(rng)
             prepped = [
                 pre(b, train=True,
@@ -100,6 +109,8 @@ def fit_depth(
                 k: jnp.stack([p[k] for p in prepped])
                 for k in ("image", "depth")
             }
+            batch["weight"] = jnp.asarray(
+                [1.0] * n_real + [0.0] * (accum - n_real), jnp.float32)
             if combined:
                 batch["max_depth"] = jnp.stack(
                     [p["max_depth"] for p in prepped])

