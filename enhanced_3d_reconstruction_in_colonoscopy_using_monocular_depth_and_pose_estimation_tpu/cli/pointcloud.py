@@ -112,6 +112,9 @@ def main(argv=None) -> None:
         idx = min(idx, len(positions) - 1)
 
         depth = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
+        if depth.ndim == 3:
+            # run.py-style grayscale predictions are 3 identical channels.
+            depth = depth[..., 0]
         color = cv2.imread(rgb_path)
         if depth.shape[:2] != color.shape[:2]:
             depth = cv2.resize(depth, (color.shape[1], color.shape[0]),

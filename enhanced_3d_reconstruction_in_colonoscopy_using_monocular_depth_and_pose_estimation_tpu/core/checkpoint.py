@@ -58,6 +58,13 @@ class CheckpointManager:
         step = self.latest_step()
         return None if step is None else self.restore(step, template)
 
+    def restore_latest_untyped(self) -> Any | None:
+        """Restore the latest checkpoint without a template (as saved —
+        nested dicts of numpy arrays). Lets inference CLIs read training
+        output without constructing an optimizer state."""
+        step = self.latest_step()
+        return None if step is None else self._mgr.restore(step)
+
     def close(self) -> None:
         self._mgr.close()
 

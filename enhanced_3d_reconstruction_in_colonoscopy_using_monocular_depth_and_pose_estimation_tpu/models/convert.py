@@ -26,6 +26,7 @@ wrong. No reference experiment uses vitg.
 
 from __future__ import annotations
 
+import os
 from typing import Mapping
 
 import numpy as np
@@ -43,7 +44,16 @@ def load_or_init_depth_params(encoder: str, max_depth: float,
     from .depth_anything import build_depth_model
 
     model = build_depth_model(encoder, max_depth=max_depth)
-    if load_from:
+    if load_from and os.path.isdir(load_from):
+        # Orbax checkpoint dir — our own training output (core.checkpoint).
+        from ..core.checkpoint import CheckpointManager
+
+        restored = CheckpointManager(load_from).restore_latest_untyped()
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoints in {load_from}")
+        params = (restored["params"] if isinstance(restored, dict)
+                  else restored.params)
+    elif load_from:
         params = convert_dav2(load_torch_state_dict(load_from), encoder)
     else:
         print(f"[{encoder}] no checkpoint given; random init (smoke mode)")

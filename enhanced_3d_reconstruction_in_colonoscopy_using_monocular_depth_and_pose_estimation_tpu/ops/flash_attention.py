@@ -40,6 +40,11 @@ FWD_BUDGET = int(os.environ.get("E3D_FLASH_FWD_BUDGET_KB", "3072")) * 1024
 BWD_BUDGET = int(os.environ.get("E3D_FLASH_BWD_BUDGET_KB", "768")) * 1024
 # exp/softmax-weights in bf16 (f32 statistics kept): halves VPU exp cost.
 EXP_BF16 = os.environ.get("E3D_FLASH_EXP_BF16", "0") == "1"
+# Layout experiments: KT feeds K pre-transposed (D, Np) so the score
+# matmul is a plain (BQ, D) @ (D, Np) with no in-kernel transpose; DOTGEN
+# uses dot_general contracting the last dims instead of materializing k.T.
+_KT = os.environ.get("E3D_FLASH_KT", "0") == "1"
+_DOTGEN = os.environ.get("E3D_FLASH_DOTGEN", "0") == "1"
 # Perf-attribution knock-outs (WRONG NUMERICS — sweep diagnostics only).
 _NO_EXP = os.environ.get("E3D_FLASH_NO_EXP", "0") == "1"
 _NO_MASK = os.environ.get("E3D_FLASH_NO_MASK", "0") == "1"
@@ -80,9 +85,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 n_valid: int, hb: int):
     for h in range(hb):
         q = q_ref[h]                                        # (BQ, D)
-        k = k_ref[h]                                        # (Np, D)
+        k = k_ref[h]                                        # (Np, D) or (D, Np)
         v = v_ref[h]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if _KT:
+            s = jnp.dot(q, k, preferred_element_type=jnp.float32)
+        elif _DOTGEN:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
         if not _NO_SCALE:
             s = s * scale
         if not _NO_MASK:
@@ -120,17 +132,23 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
                         memory_space=pltpu.VMEM)
     vec_blk = pl.BlockSpec((hb, BLOCK_Q, 1), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
+    k_in = k3
+    k_spec = full
+    if _KT:
+        k_in = jnp.swapaxes(k3, 1, 2)  # (bh, d, np) — XLA-side transpose
+        k_spec = pl.BlockSpec((hb, d, np_), lambda b, i: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid, hb=hb),
         grid=grid,
-        in_specs=[blk, full, full],
+        in_specs=[blk, k_spec, full],
         out_specs=[blk, vec_blk],
         out_shape=[
             jax.ShapeDtypeStruct((bh, np_, d), q3.dtype),
             jax.ShapeDtypeStruct((bh, np_, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(q3, k3, v3)
+    )(q3, k_in, v3)
     return out, lse
 
 

@@ -1,0 +1,98 @@
+"""Chained full-system pipeline test (the reference's de-facto contract,
+``/root/reference/run.sh:1-9``): train -> test_depth (Orbax ckpt) ->
+infer (_OP dirs) -> pointcloud + Poisson mesh -> eval_depth_offline,
+asserting metrics, file formats and frame counts at every seam.
+"""
+
+import glob
+import json
+import os
+import re
+
+import numpy as np
+
+import e3d_tpu  # noqa: F401
+from e3d_tpu.data.synthetic import make_simcol_fixture
+from e3d_tpu.recon.ply import read_ply
+
+CONFIG_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+
+def test_full_pipeline(tmp_path_factory, tmp_path, monkeypatch, capsys):
+    from e3d_tpu.cli import (eval_depth_offline, infer, pointcloud,
+                             test_depth, train_depth)
+
+    # 5 procedures so SyntheticColon_I/Frames_S5 exists — one of
+    # eval_depth_offline's fixed test trajectories (eval_for_depth.py).
+    root = make_simcol_fixture(str(tmp_path_factory.mktemp("sc")),
+                               n_procedures=5, frames_per_proc=4, hw=64)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("E3D_CONFIG_ROOT", CONFIG_ROOT)
+    ds_args = [
+        f"dataset.data_dir={root}",
+        f"dataset.train_list={root}/train.txt",
+        f"dataset.val_list={root}/val.txt",
+        f"dataset.test_list={root}/test.txt",
+        "dataset.batch_size=2", "dataset.num_workers=2", "dataset.size=56",
+        "model.encoder=vitt", "model.use_checkpoint=false",
+        "trainer.precision=32-true",
+    ]
+
+    # ---- 1. train -> Orbax checkpoint ----------------------------------
+    train_depth.main(ds_args + ["trainer.max_epochs=1",
+                                "trainer.accumulate_grad_batches=1",
+                                "++trainer.max_steps=2"])
+    ckpt_dirs = list((tmp_path / "checkpoints" / "simcol").iterdir())
+    assert ckpt_dirs, "training produced no checkpoint dir"
+    ckpt = str(ckpt_dirs[0])
+
+    # ---- 2. test_depth on the saved checkpoint -------------------------
+    monkeypatch.setenv("CHECKPOINT_PATH", ckpt)
+    test_depth.main(ds_args)
+    results = json.loads(
+        (tmp_path / "test_lightning_results" / "simcol_results.json")
+        .read_text())
+    assert np.isfinite(results["overall_metrics"]["abs_rel"]["mean"])
+    assert results["procedure_metrics"], "no per-procedure metrics"
+
+    # ---- 3. infer over the dataset tree (_OP convention) ---------------
+    infer.main(["--encoder", "vitt", "--load-from", ckpt,
+                "-i", root, "-d", "simcol", "--input-size", "56",
+                "--pred-only", "--grayscale", "--save-numpy",
+                "--batch-size", "4"])
+    op_dirs = sorted(glob.glob(os.path.join(
+        root, "SyntheticColon_I", "Frames_*_OP")))
+    assert len(op_dirs) == 5, f"expected 5 _OP dirs, got {op_dirs}"
+    for op in op_dirs:
+        pngs = sorted(glob.glob(os.path.join(op, "FrameBuffer_*.png")))
+        assert len(pngs) == 4, f"missing predictions in {op}"
+    npy = np.load(os.path.join(op_dirs[0], "FrameBuffer_0000.npy"))
+    assert npy.shape == (64, 64)
+    assert np.isfinite(npy).all() and npy.min() >= 0 and npy.max() <= 20.0
+
+    # ---- 4. pointcloud + Poisson mesh from the predictions -------------
+    recon_dir = tmp_path / "recon"
+    pointcloud.main(["-i", root, "-o", str(recon_dir),
+                     "--voxel-size", "0.005", "--mesh-depth", "4"])
+    cloud = read_ply(str(recon_dir / "combined_point_cloud.ply"))
+    assert len(cloud["points"]) > 100
+    assert np.isfinite(cloud["points"]).all()
+    assert "colors" in cloud
+    mesh_path = recon_dir / "combined_mesh.ply"
+    assert mesh_path.exists(), "Poisson mesh not written"
+    mesh = read_ply(str(mesh_path))
+    if len(mesh["points"]):
+        assert np.isfinite(mesh["points"]).all()
+
+    # ---- 5. offline challenge-format eval over the _OP predictions -----
+    capsys.readouterr()
+    eval_depth_offline.main(["--input-path", root, "--no-strict"])
+    out = capsys.readouterr().out
+    assert "Results for trajectory SyntheticColon_I/Frames_S5_OP" in out
+    overall = dict(re.findall(
+        r"^  (l1|abs_rel|d1|rmse): ([\d.eE+-]+)$",
+        out.split("Overall Results")[1], re.MULTILINE))
+    assert set(overall) == {"l1", "abs_rel", "d1", "rmse"}
+    for k, v in overall.items():
+        assert np.isfinite(float(v)), f"overall {k} not finite: {v}"
