@@ -46,10 +46,14 @@ def resolve_max_depth(cfg) -> float:
 
 
 def main(argv: list[str] | None = None) -> None:
+    import contextlib
+
     from ..core import config as cfglib
+    from ..core.debug import nan_checks, profile_trace
     from ..core.dtypes import policy_from_precision
     from ..core.logging import MetricLogger
     from ..models.convert import convert_dav2, load_torch_state_dict
+    from ..parallel import mesh as meshlib
     from ..train.depth_task import DepthTask
     from ..train.loop import fit_depth
     from ..utils.experiment import experiment_id
@@ -57,6 +61,12 @@ def main(argv: list[str] | None = None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     config_root = os.environ.get("E3D_CONFIG_ROOT", "configs")
     cfg = cfglib.compose(config_root, "default", argv)
+
+    # Multi-host bring-up (no-op single process; reference exposes only
+    # trainer.devices, main_lightning.py:134-139).
+    if (bool(cfg.trainer.get("distributed", False))
+            or "JAX_COORDINATOR_ADDRESS" in os.environ):
+        meshlib.init_distributed()
 
     run_dir = cfglib.run_dir(cfg, cfg.run_dir_template)
     cfglib.snapshot(cfg, os.path.join(run_dir, ".hydra"))
@@ -72,7 +82,7 @@ def main(argv: list[str] | None = None) -> None:
     datamodule.setup("fit")
 
     accum = int(cfg.trainer.get("accumulate_grad_batches", 1))
-    steps_per_epoch = max(1, len(datamodule.train_loader()) // accum)
+    steps_per_epoch = max(1, -(-len(datamodule.train_loader()) // accum))
     total_steps = steps_per_epoch * int(cfg.trainer.max_epochs)
 
     max_depth = resolve_max_depth(cfg)
@@ -117,6 +127,23 @@ def main(argv: list[str] | None = None) -> None:
         stdout_every=int(cfg.trainer.get("log_every_n_steps", 100)))
 
     ckpt_dir = os.path.join("checkpoints", cfg.dataset.ds_type, exp_id)
+    stack = contextlib.ExitStack()
+    if bool(cfg.trainer.get("profile", False)):
+        trace_dir = os.path.join(run_dir, "trace")
+        print(f"[train_depth] profiling to {trace_dir}")
+        stack.enter_context(profile_trace(trace_dir))
+    if bool(cfg.trainer.get("debug_nans", False)):
+        stack.enter_context(nan_checks(True))
+    with stack:
+        _run_fit(task, datamodule, cfg, run_dir, ckpt_dir, logger,
+                 max_depths, pretrained)
+    logger.close()
+
+
+def _run_fit(task, datamodule, cfg, run_dir, ckpt_dir, logger, max_depths,
+             pretrained) -> None:
+    from ..train.loop import fit_depth
+
     fit_depth(
         task, datamodule,
         max_epochs=int(cfg.trainer.max_epochs),
@@ -132,7 +159,6 @@ def main(argv: list[str] | None = None) -> None:
         log_every=int(cfg.trainer.get("log_every_n_steps", 1)),
         resume=bool(cfg.trainer.get("resume", False)),
     )
-    logger.close()
 
 
 if __name__ == "__main__":

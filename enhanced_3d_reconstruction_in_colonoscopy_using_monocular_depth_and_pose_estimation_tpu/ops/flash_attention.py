@@ -45,6 +45,11 @@ EXP_BF16 = os.environ.get("E3D_FLASH_EXP_BF16", "0") == "1"
 # uses dot_general contracting the last dims instead of materializing k.T.
 _KT = os.environ.get("E3D_FLASH_KT", "0") == "1"
 _DOTGEN = os.environ.get("E3D_FLASH_DOTGEN", "0") == "1"
+# Scores in bf16 (halves VMEM score traffic; costs ~1e-3 relative
+# precision on the softmax weights).
+_S_BF16 = os.environ.get("E3D_FLASH_S_BF16", "0") == "1"
+# Mark grid dims parallel so Mosaic can pipeline programs.
+_DIMSEM = os.environ.get("E3D_FLASH_DIMSEM", "0") == "1"
 # Perf-attribution knock-outs (WRONG NUMERICS — sweep diagnostics only).
 _NO_EXP = os.environ.get("E3D_FLASH_NO_EXP", "0") == "1"
 _NO_MASK = os.environ.get("E3D_FLASH_NO_MASK", "0") == "1"
@@ -95,6 +100,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 preferred_element_type=jnp.float32)
         else:
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if _S_BF16:
+            # bf16 score buffer (MXU still accumulates f32): halves the
+            # VMEM traffic of the softmax passes.
+            s = s.astype(jnp.bfloat16)
         if not _NO_SCALE:
             s = s * scale
         if not _NO_MASK:
@@ -105,7 +114,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
             m = jnp.max(s, axis=1, keepdims=True)
         if _NO_EXP:
             p = s - m
-            l = jnp.sum(p, axis=1, keepdims=True)
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
         elif EXP_BF16:
             # exp on bf16: the softmax weights feed a bf16 matmul anyway;
             # row statistics (m, l) stay f32.
@@ -113,11 +122,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
             l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
         else:
             p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
         o = jnp.dot(p.astype(v.dtype), v,
                     preferred_element_type=jnp.float32) / l
         o_ref[h] = o.astype(o_ref.dtype)
-        lse_ref[h] = m + jnp.log(l)
+        lse_ref[h] = m.astype(jnp.float32) + jnp.log(l)
 
 
 def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
@@ -138,6 +147,10 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
         k_in = jnp.swapaxes(k3, 1, 2)  # (bh, d, np) — XLA-side transpose
         k_spec = pl.BlockSpec((hb, d, np_), lambda b, i: (b, 0, 0),
                               memory_space=pltpu.VMEM)
+    extra = {}
+    if _DIMSEM and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid, hb=hb),
         grid=grid,
@@ -148,6 +161,7 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
             jax.ShapeDtypeStruct((bh, np_, 1), jnp.float32),
         ],
         interpret=interpret,
+        **extra,
     )(q3, k_in, v3)
     return out, lse
 

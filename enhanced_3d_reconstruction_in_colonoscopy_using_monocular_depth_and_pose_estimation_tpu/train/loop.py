@@ -21,6 +21,7 @@ import numpy as np
 from ..core.checkpoint import CheckpointManager, EarlyStopping
 from ..core.debug import StepTimer
 from ..core.logging import MetricLogger
+from ..core.metrics import MetricBank
 from ..data.preprocess import DevicePreprocessor
 from .depth_task import DepthTask, DepthTrainState
 
@@ -87,10 +88,17 @@ def fit_depth(
     val_every = max(1, int(steps_per_epoch * val_check_interval))
     combined = max_depths is not None
 
+    # Running epoch means of the train metrics (torchmetrics MeanMetric
+    # semantics, reference lightning_model.py:145-152) — the bank lives on
+    # device; the host reads it once per epoch.
+    bank_keys = ("loss", "d1", "abs_rel", "rmse", "l1")
+    bank_update = jax.jit(MetricBank.update)
+
     stop = False
     for epoch in range(max_epochs):
         if stop:
             break
+        bank = MetricBank.zeros(bank_keys)
         t_epoch = time.time()
         for group in _group_accum(iter(train_loader), accum):
             n_real = len(group)
@@ -116,6 +124,7 @@ def fit_depth(
                     [p["max_depth"] for p in prepped])
             with timer.step():
                 state, metrics = task.train_step(state, batch)
+                bank = bank_update(bank, metrics)  # device-side, no sync
                 step = host_step = host_step + 1
                 if (step % log_every == 0 or step % val_every == 0
                         or (max_steps and step >= max_steps)):
@@ -152,6 +161,11 @@ def fit_depth(
         summary = timer.summary()
         print(f"[epoch {epoch}] {time.time() - t_epoch:.1f}s "
               f"({summary.get('steps_per_s', 0):.2f} steps/s)")
+        if float(bank["loss"].count) > 0:
+            epoch_means = MetricBank.compute(bank)
+            logger.log({f"Train/epoch_{k}": float(v)
+                        for k, v in epoch_means.items()},
+                       step=int(state.step))
         if summary:
             logger.log({f"perf/{k}": v for k, v in summary.items()},
                        step=int(state.step))
@@ -232,14 +246,19 @@ def fit_pose(
     host_step = int(state.step)
     log_every = max(1, log_every)
 
+    pose_keys = ("loss", "ate", "rte", "rote")
+    bank_update = jax.jit(MetricBank.update)
+
     stop = False
     for epoch in range(max_epochs):
         if stop:
             break
+        bank = MetricBank.zeros(pose_keys)
         for batch in datamodule.train_loader():
             jbatch = {"input": jnp.asarray(batch["input"]),
                       "target": jnp.asarray(batch["target"])}
             state, metrics = task.train_step(state, jbatch)
+            bank = bank_update(bank, metrics)
             step = host_step = host_step + 1
             if step % log_every == 0 or (max_steps and step >= max_steps):
                 # Host sync only at logging boundaries (pipelined between).
