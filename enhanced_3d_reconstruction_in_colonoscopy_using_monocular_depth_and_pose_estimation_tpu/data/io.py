@@ -150,7 +150,18 @@ def decode_c3vd_color(path: str) -> np.ndarray:
 
 
 def decode_c3vd_depth(path: str) -> np.ndarray:
-    """C3VD 16-bit depth tiff -> uint16 (H, W)."""
+    """C3VD 16-bit depth tiff -> uint16 (H, W).
+
+    Fast path: native C++ TIFF decoder (data/native/tiffdec.cpp —
+    baseline striped none/LZW/PackBits, the formats C3VD ships;
+    reference reads via cv2, c3vd.py:188-189). cv2 fallback for
+    exotic flavors (tiled, other codecs)."""
+    native = _native_png()
+    if native:
+        try:
+            return native.decode_tiff(path).astype(np.uint16, copy=False)
+        except ValueError:
+            pass
     import cv2
 
     return cv2.imread(path, cv2.IMREAD_UNCHANGED).astype(np.uint16)

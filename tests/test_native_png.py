@@ -6,6 +6,7 @@ from PIL import Image
 
 import e3d_tpu  # noqa: F401
 from e3d_tpu.data.native import decode_png_batch, png_info
+from e3d_tpu.data import native
 
 
 @pytest.fixture(scope="module")
@@ -60,3 +61,59 @@ def test_decode_failure_reported(tmp_path):
     bad.write_bytes(b"not a png")
     with pytest.raises(ValueError):
         decode_png_batch([str(bad)])
+
+
+# --------------------------- native TIFF decoder ----------------------------
+
+
+def _tiff_cases(tmp_path):
+    import cv2
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    arr16 = rng.integers(0, 65535, size=(37, 53), dtype=np.uint16)
+    arr8 = rng.integers(0, 255, size=(37, 53), dtype=np.uint8)
+    cases = []
+    p = str(tmp_path / "cv2_lzw_pred.tiff")  # cv2 default: LZW + predictor 2
+    cv2.imwrite(p, arr16)
+    cases.append((p, arr16))
+    p = str(tmp_path / "pil_raw.tiff")
+    Image.fromarray(arr16).save(p)
+    cases.append((p, arr16))
+    p = str(tmp_path / "pil_lzw.tiff")
+    Image.fromarray(arr16).save(p, compression="tiff_lzw")
+    cases.append((p, arr16))
+    p = str(tmp_path / "pil_packbits.tiff")
+    Image.fromarray(arr16).save(p, compression="packbits")
+    cases.append((p, arr16))
+    p = str(tmp_path / "pil_raw8.tiff")
+    Image.fromarray(arr8).save(p)
+    cases.append((p, arr8))
+    return cases
+
+
+def test_native_tiff_matches_writers(tmp_path):
+    for path, expect in _tiff_cases(tmp_path):
+        got = native.decode_tiff(path)
+        assert got.dtype == expect.dtype, path
+        np.testing.assert_array_equal(got, expect, err_msg=path)
+
+
+def test_decode_c3vd_depth_native(tmp_path):
+    import cv2
+
+    from e3d_tpu.data.io import decode_c3vd_depth
+
+    arr = np.random.default_rng(3).integers(
+        0, 65535, size=(64, 64), dtype=np.uint16)
+    path = str(tmp_path / "0001_depth.tiff")
+    cv2.imwrite(path, arr)
+    np.testing.assert_array_equal(decode_c3vd_depth(path), arr)
+
+
+def test_native_tiff_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.tiff"
+    bad.write_bytes(b"NOTATIFF")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        native.decode_tiff(str(bad))
