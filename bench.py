@@ -34,6 +34,9 @@ def log(msg: str) -> None:
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("E3D_BENCH_TRAIN_ONLY", "0") == "1":
+        measure_train()
+        return
     from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.models import (  # noqa: E501
         build_depth_model,
     )
@@ -91,12 +94,90 @@ def main() -> None:
                        "note": "round-1 self-baseline (reference publishes "
                                "no throughput)"}, f)
 
+    if os.environ.get("E3D_BENCH_SKIP_TRAIN", "0") != "1":
+        # Fresh process: the inference model must not share HBM with the
+        # train state (vitl bs6 no-remat needs nearly the whole chip).
+        import subprocess
+
+        env = dict(os.environ, E3D_BENCH_TRAIN_ONLY="1")
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=sys.stderr, stderr=sys.stderr, check=False,
+            timeout=3000).returncode
+        if rc != 0:
+            log(f"train bench subprocess failed (rc={rc})")
+
     print(json.dumps({
         "metric": "depth_vitl518_infer_fps_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 4),
     }))
+
+
+def measure_train() -> None:
+    """Train-step throughput diagnostic -> stderr + BENCH_TRAIN.json.
+
+    Reference best-run config (vitl 518, batch 6, grad-accum 4,
+    configs/experiments/simcol/mvitl_.../config.yaml); no remat — batch 6
+    fits v5e HBM without it and is ~17% faster (round-1 measurement).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.train.depth_task import (  # noqa: E501
+        DepthTask,
+    )
+
+    accum, mb, size = 4, 6, 518
+    task = DepthTask(encoder="vitl", max_depth=20.0, total_steps=100,
+                     grad_accum=accum, grad_checkpoint=False)
+    state = task.init_state(jax.random.PRNGKey(0), (size, size),
+                            fill_value=0.01)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(accum, mb, size, size, 3))
+                             .astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(0.5, 19.0,
+                                         size=(accum, mb, size, size, 1))
+                             .astype(np.float32)),
+    }
+    t0 = time.time()
+    state, metrics = task.train_step(state, batch)
+    float(metrics["loss"])  # force completion through the tunnel
+    log(f"train compile+first-step: {time.time() - t0:.1f}s")
+
+    steps = 3
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(steps):
+            state, metrics = task.train_step(state, batch)
+        float(metrics["loss"])
+        best = min(best, (time.time() - t0) / steps)
+    train_fps = accum * mb / best
+    log(f"train: {best * 1000:.0f} ms/step (bs {mb} x accum {accum}), "
+        f"{train_fps:.2f} frames/s")
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tb_file = os.path.join(repo, "BENCH_TRAIN_BASELINE.json")
+    if os.path.exists(tb_file):
+        with open(tb_file, "r", encoding="utf-8") as f:
+            tbase = json.load(f)["value"]
+    else:
+        tbase = train_fps
+        with open(tb_file, "w", encoding="utf-8") as f:
+            json.dump({"metric": "depth_vitl518_train_fps",
+                       "value": train_fps,
+                       "note": "round-2 self-baseline"}, f)
+    with open(os.path.join(repo, "BENCH_TRAIN.json"), "w",
+              encoding="utf-8") as f:
+        json.dump({"metric": "depth_vitl518_train_fps_per_chip",
+                   "value": round(train_fps, 3), "unit": "frames/s",
+                   "vs_baseline": round(train_fps / tbase, 4),
+                   "ms_per_step": round(best * 1000, 1),
+                   "config": "vitl 518px bs6 accum4 no-remat bf16"}, f)
 
 
 if __name__ == "__main__":

@@ -96,6 +96,9 @@ def main(argv=None) -> None:
 
     filenames = enumerate_inputs(args)
     os.makedirs(args.outdir, exist_ok=True)
+    if args.batch_size == 1 and len(filenames) > 8:
+        print("Hint: --batch-size 1 is the reference-parity per-frame loop "
+              "(~8x slower on TPU than --batch-size 8 batched inference).")
 
     # Skip-existing first (run.py:224-230 idempotence).
     todo = []

@@ -142,12 +142,14 @@ class DPTHead(nn.Module):
         out = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
                       param_dtype=jnp.float32, name="output_conv1")(path1)
         out = resize_align_corners(out, (patch_h * 14, patch_w * 14))
-        # Metric head in f32: sigmoid saturation in bf16 costs depth
-        # resolution (SURVEY.md section 7, bf16 drift risk).
-        out = nn.Conv(32, (3, 3), padding=1, dtype=jnp.float32,
-                      param_dtype=jnp.float32,
-                      name="output_conv2_0")(out.astype(jnp.float32))
-        out = nn.relu(out)
+        # First head conv in compute dtype: its input just came through a
+        # compute-dtype resize, so there is no extra precision to preserve
+        # — and a 518-px f32 conv runs at the slow f32 MXU rate. The final
+        # 1x1 conv + sigmoid stay f32 (bf16 sigmoid saturation costs depth
+        # resolution; SURVEY.md section 7, bf16 drift risk).
+        out = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="output_conv2_0")(out)
+        out = nn.relu(out.astype(jnp.float32))
         out = nn.Conv(1, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32,
                       name="output_conv2_2")(out)
         return nn.sigmoid(out)

@@ -32,24 +32,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# Tuning knobs (env-overridable for perf sweeps; defaults are the tuned
-# v5e values). BLOCK_Q is the query-block sublane size (multiple of 16 for
-# bf16); budgets feed ``_head_block``.
-BLOCK_Q = int(os.environ.get("E3D_FLASH_BLOCK_Q", "128"))
-FWD_BUDGET = int(os.environ.get("E3D_FLASH_FWD_BUDGET_KB", "3072")) * 1024
+# Tuning knobs (env-overridable for perf sweeps; defaults are the values
+# measured fastest on v5e at the flagship (8, 1370, 16, 64) shape — see
+# perf/attn_*.jsonl). BLOCK_Q is the max query-block sublane size (multiple
+# of 16 for bf16); budgets feed ``_head_block``.
+BLOCK_Q = int(os.environ.get("E3D_FLASH_BLOCK_Q", "704"))
+FWD_BUDGET = int(os.environ.get("E3D_FLASH_FWD_BUDGET_KB", "768")) * 1024
 BWD_BUDGET = int(os.environ.get("E3D_FLASH_BWD_BUDGET_KB", "768")) * 1024
 # exp/softmax-weights in bf16 (f32 statistics kept): halves VPU exp cost.
 EXP_BF16 = os.environ.get("E3D_FLASH_EXP_BF16", "0") == "1"
-# Layout experiments: KT feeds K pre-transposed (D, Np) so the score
-# matmul is a plain (BQ, D) @ (D, Np) with no in-kernel transpose; DOTGEN
-# uses dot_general contracting the last dims instead of materializing k.T.
-_KT = os.environ.get("E3D_FLASH_KT", "0") == "1"
+# KT feeds K pre-transposed (D, Np) so the score matmul is a plain
+# (BQ, D) @ (D, Np) with no in-kernel transpose (measured ~6% faster);
+# DOTGEN instead contracts the last dims without materializing k.T.
+_KT = os.environ.get("E3D_FLASH_KT", "1") == "1"
 _DOTGEN = os.environ.get("E3D_FLASH_DOTGEN", "0") == "1"
 # Scores in bf16 (halves VMEM score traffic; costs ~1e-3 relative
 # precision on the softmax weights).
 _S_BF16 = os.environ.get("E3D_FLASH_S_BF16", "0") == "1"
 # Mark grid dims parallel so Mosaic can pipeline programs.
 _DIMSEM = os.environ.get("E3D_FLASH_DIMSEM", "0") == "1"
+# Split the PV matmul's K-reduction into N independent partial dots.
+_PV_SPLIT = int(os.environ.get("E3D_FLASH_PV_SPLIT", "1"))
 # Perf-attribution knock-outs (WRONG NUMERICS — sweep diagnostics only).
 _NO_EXP = os.environ.get("E3D_FLASH_NO_EXP", "0") == "1"
 _NO_MASK = os.environ.get("E3D_FLASH_NO_MASK", "0") == "1"
@@ -60,6 +63,12 @@ NEG_INF = -1e30
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _block_q(n: int) -> int:
+    """Query-block size for a sequence of n valid tokens: the tuned
+    BLOCK_Q, shrunk for short sequences so padding stays bounded."""
+    return min(BLOCK_Q, -(-n // 16) * 16)
 
 
 def _head_block(n_heads: int, np_: int, d: int, itemsize: int,
@@ -123,8 +132,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         else:
             p = jnp.exp(s - m)
             l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-        o = jnp.dot(p.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32) / l
+        pb = p.astype(v.dtype)
+        if _PV_SPLIT > 1:
+            nk = v.shape[0] // _PV_SPLIT
+            o = sum(jnp.dot(pb[:, c * nk:(c + 1) * nk],
+                            v[c * nk:(c + 1) * nk],
+                            preferred_element_type=jnp.float32)
+                    for c in range(_PV_SPLIT))
+        else:
+            o = jnp.dot(pb, v, preferred_element_type=jnp.float32)
+        o = o / l
         o_ref[h] = o.astype(o_ref.dtype)
         lse_ref[h] = m.astype(jnp.float32) + jnp.log(l)
 
@@ -134,12 +151,13 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
     """q3/k3/v3: (BH, Np, D) padded. Returns (out, lse (BH, Np, 1))."""
     bh, np_, d = q3.shape
     hb = _head_block(bh, np_, d, q3.dtype.itemsize, budget=FWD_BUDGET)
-    grid = (bh // hb, np_ // BLOCK_Q)
-    blk = pl.BlockSpec((hb, BLOCK_Q, d), lambda b, i: (b, i, 0),
+    bq = _block_q(n_valid)
+    grid = (bh // hb, np_ // bq)
+    blk = pl.BlockSpec((hb, bq, d), lambda b, i: (b, i, 0),
                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec((hb, np_, d), lambda b, i: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    vec_blk = pl.BlockSpec((hb, BLOCK_Q, 1), lambda b, i: (b, i, 0),
+    vec_blk = pl.BlockSpec((hb, bq, 1), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
     k_in = k3
     k_spec = full
@@ -222,15 +240,16 @@ def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)                 # (BH, Np, 1)
 
-    blk = pl.BlockSpec((hb, BLOCK_Q, d), lambda b, i: (b, i, 0),
+    bq = _block_q(n_valid)
+    blk = pl.BlockSpec((hb, bq, d), lambda b, i: (b, i, 0),
                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec((hb, np_, d), lambda b, i: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    vec_blk = pl.BlockSpec((hb, BLOCK_Q, 1), lambda b, i: (b, i, 0),
+    vec_blk = pl.BlockSpec((hb, bq, 1), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
     vec_full = pl.BlockSpec((hb, np_, 1), lambda b, i: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    grid = (bh // hb, np_ // BLOCK_Q)
+    grid = (bh // hb, np_ // bq)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, n_valid=n_valid,
@@ -285,7 +304,8 @@ def flash_attention(q: Array, k: Array, v: Array,
     if interpret is None:
         interpret = _use_interpret()
     scale = float(1.0 / (d ** 0.5))
-    n_pad = -(-n // BLOCK_Q) * BLOCK_Q
+    bq = _block_q(n)
+    n_pad = -(-n // bq) * bq
 
     def to3(x):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)

@@ -24,12 +24,20 @@ Two families are provided, matching the two semantics used by the reference:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 Array = jax.Array
+
+# Pallas 2-tap lerp path for align-corners bilinear (see bottom of file).
+# MEASURED SLOWER than the matmul form on v5e (per-output-row unrolled
+# slices are iteration-overhead-bound: DPT resizes 10.7 -> 18 ms,
+# perf/dpt_ops2.jsonl) — kept for reference behind the env flag, default
+# off.
+_PALLAS_RESIZE = os.environ.get("E3D_PALLAS_RESIZE", "0") == "1"
 
 
 def _cubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
@@ -186,14 +194,20 @@ def resize_align_corners(x: Array, out_hw: tuple[int, int],
                          method: str = "bilinear") -> Array:
     """torch ``F.interpolate(..., align_corners=True)``-style resize.
 
-    Implementation note: a gather+lerp 2-tap path was measured SLOWER on
-    TPU than the dense per-axis matmuls (XLA gathers don't vectorize well
-    on the VPU; the matmuls ride the MXU in bf16), so the matmul path is
-    used for every method. ``_lerp_axis`` is kept for CPU-side use.
+    Implementation notes: an XLA gather+lerp 2-tap path was measured
+    SLOWER on TPU than the dense per-axis matmuls (XLA gathers don't
+    vectorize well on the VPU), but a Pallas 2-tap lerp with static
+    per-output-row slices beats both for bilinear on lane-aligned
+    channels (the DPT decoder's shapes) — dispatched below. Everything
+    else takes the matmul path.
     """
     h_out, w_out = out_hw
     h_in = x.shape[-3] if x.ndim >= 3 else x.shape[0]
     w_in = x.shape[-2] if x.ndim >= 3 else x.shape[1]
+    if (_PALLAS_RESIZE and method == "bilinear" and x.ndim == 4
+            and x.shape[-1] % 128 == 0 and min(h_in, w_in) >= 2
+            and jax.default_backend() == "tpu"):
+        return _lerp_resize_pallas(x, (h_out, w_out))
     return _apply_separable(
         x,
         _align_corners_matrix(h_in, h_out, method),
@@ -213,3 +227,98 @@ def resize_nearest(x: Array, out_hw: tuple[int, int]) -> Array:
     if x.ndim == 2:
         return x[rows][:, cols]
     return jnp.take(jnp.take(x, rows, axis=-3), cols, axis=-2)
+
+
+# ---------------- Pallas align-corners bilinear (2-tap lerp) -----------------
+#
+# The DPT decoder only ever bilinearly up/down-samples NHWC tensors whose
+# channel count is lane-aligned (128/256). For those, a 2-tap lerp with
+# STATIC per-output-index slices (the output size is static, so the whole
+# loop unrolls at trace time — no gathers, no dynamic offsets) is
+# memory-bound instead of matmul-bound: the dense (out, in) matrix wastes
+# in/2 x the FLOPs, and XLA adds layout transposes for the middle-axis
+# contraction.
+
+
+@functools.lru_cache(maxsize=256)
+def _lerp_taps_static(n_in: int, n_out: int) -> tuple[tuple[int, ...],
+                                                      tuple[float, ...]]:
+    if n_out == 1 or n_in == 1:
+        return (0,) * n_out, (0.0,) * n_out
+    coords = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(coords).astype(np.int64), 0, n_in - 2)
+    frac = coords - lo
+    return tuple(int(v) for v in lo), tuple(float(v) for v in frac)
+
+
+def _lerp_rows_kernel(x_ref, o_ref, *, lo, frac):
+    for g in range(len(lo)):
+        a = x_ref[lo[g]]                              # (WB, C)
+        if frac[g] == 0.0:
+            o_ref[g] = a
+        else:
+            bb = x_ref[lo[g] + 1]
+            o_ref[g] = (a.astype(jnp.float32) * (1.0 - frac[g])
+                        + bb.astype(jnp.float32) * frac[g]).astype(o_ref.dtype)
+
+
+def _lerp_cols_kernel(x_ref, o_ref, *, lo, frac):
+    for g in range(len(lo)):
+        a = x_ref[:, lo[g]]                           # (HB, C)
+        if frac[g] == 0.0:
+            o_ref[:, g] = a
+        else:
+            bb = x_ref[:, lo[g] + 1]
+            o_ref[:, g] = (a.astype(jnp.float32) * (1.0 - frac[g])
+                           + bb.astype(jnp.float32) * frac[g]
+                           ).astype(o_ref.dtype)
+
+
+def _pick_block(span: int, fixed: int, c: int, itemsize: int,
+                budget: int = 6 * 2 ** 20) -> int:
+    blk = budget // max(fixed * c * itemsize, 1)
+    blk = max(8, (blk // 8) * 8)
+    return min(span, blk)
+
+
+def _lerp_resize_pallas(x: Array, out_hw: tuple[int, int],
+                        interpret: bool | None = None) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h2, w2 = out_hw
+    b, h, w, c = x.shape
+
+    if h2 != h:
+        lo, frac = _lerp_taps_static(h, h2)
+        wb = _pick_block(w, h + h2, c, x.dtype.itemsize)
+        x = pl.pallas_call(
+            functools.partial(_lerp_rows_kernel, lo=lo, frac=frac),
+            grid=(b, -(-w // wb)),
+            in_specs=[pl.BlockSpec((None, h, wb, c),
+                                   lambda i, j: (i, 0, j, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((None, h2, wb, c),
+                                   lambda i, j: (i, 0, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, h2, w, c), x.dtype),
+            interpret=interpret,
+        )(x)
+    if w2 != w:
+        lo, frac = _lerp_taps_static(w, w2)
+        hb = _pick_block(h2, w + w2, c, x.dtype.itemsize)
+        x = pl.pallas_call(
+            functools.partial(_lerp_cols_kernel, lo=lo, frac=frac),
+            grid=(b, -(-h2 // hb)),
+            in_specs=[pl.BlockSpec((None, hb, w, c),
+                                   lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((None, hb, w2, c),
+                                   lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, h2, w2, c), x.dtype),
+            interpret=interpret,
+        )(x)
+    return x

@@ -90,16 +90,26 @@ class DepthTask:
     # ------------------------------------------------------------------ init
 
     def init_state(self, rng: Array, image_hw: tuple[int, int],
-                   pretrained_params: Any | None = None) -> DepthTrainState:
+                   pretrained_params: Any | None = None,
+                   fill_value: float | None = None) -> DepthTrainState:
         """Initialize (on host, then device_put with mesh shardings).
 
         ``pretrained_params`` is a converted DAv2 tree; encoder-only trees
         merge over the random init (reference bootstrap semantics,
-        ``lightning_model.py:130-140``).
+        ``lightning_model.py:130-140``). ``fill_value`` skips the real
+        random init and fills every param with a constant — benchmarking
+        only (matmul timing is data-independent; random-init of vitl
+        through the device tunnel costs ~200 s).
         """
         h, w = image_hw
         sample = jnp.zeros((1, h, w, 3), jnp.float32)
-        params = self.model.init(rng, sample)["params"]
+        if fill_value is not None:
+            shapes = jax.eval_shape(
+                lambda r: self.model.init(r, sample)["params"], rng)
+            params = jax.tree.map(
+                lambda s: jnp.full(s.shape, fill_value, s.dtype), shapes)
+        else:
+            params = self.model.init(rng, sample)["params"]
         if pretrained_params is not None:
             params = _merge_params(params, pretrained_params)
 

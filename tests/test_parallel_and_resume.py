@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import e3d_tpu  # noqa: F401
 from e3d_tpu.core.checkpoint import CheckpointManager, EarlyStopping
@@ -91,3 +92,59 @@ def test_early_stopping():
     results = [stopper.update(v) for v in values]
     # Lightning semantics: stop once wait_count >= patience (2 bad evals).
     assert results == [False, False, False, True, True]
+
+
+@pytest.mark.slow
+def test_tp_matches_dp_at_vits_224(rng):
+    """TP==DP at a REAL encoder size (vits, 224 px: 257 tokens, 6 heads,
+    real DPT widths) so the TP sharding rules are validated against real
+    layer names/widths, not just the vitt toy (VERDICT r1 next #10)."""
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(1, 4, 224, 224, 3))
+                             .astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(0.5, 19.0, size=(1, 4, 224, 224, 1))
+                             .astype(np.float32)),
+    }
+
+    def run(mesh, tp):
+        task = DepthTask(encoder="vits", max_depth=20.0, total_steps=10,
+                         grad_accum=1, device_mesh=mesh, policy=POLICY_F32,
+                         grad_checkpoint=False, tensor_parallel=tp)
+        state = task.init_state(jax.random.PRNGKey(0), (224, 224))
+        state, metrics = task.train_step(state, batch)
+        return state, metrics
+
+    state_dp, m_dp = run(build_mesh(MeshSpec(data=8, model=1)), False)
+    state_tp, m_tp = run(build_mesh(MeshSpec(data=4, model=2)), True)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_tp["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_dp.params),
+                    jax.tree.leaves(state_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_tp_shards_vits_params():
+    """Sharding-rule regexes hit the real vits layer names and the sharded
+    axes divide evenly by the model axis."""
+    mesh = build_mesh(MeshSpec(data=4, model=2))
+    task = DepthTask(encoder="vits", max_depth=20.0, total_steps=4,
+                     device_mesh=mesh, policy=POLICY_F32,
+                     grad_checkpoint=False, tensor_parallel=True)
+    state = task.init_state(jax.random.PRNGKey(0), (224, 224))
+    blocks = state.params["pretrained"]
+    sharded = 0
+    for name in blocks:
+        if not name.startswith("blocks_"):
+            continue
+        for path, want_axis in ((("attn", "qkv", "kernel"), 1),
+                                (("attn", "proj", "kernel"), 0),
+                                (("mlp", "fc1", "kernel"), 1),
+                                (("mlp", "fc2", "kernel"), 0)):
+            leaf = blocks[name]
+            for k in path:
+                leaf = leaf[k]
+            spec = leaf.sharding.spec
+            assert spec[want_axis] == "model", (name, path, spec)
+            assert leaf.shape[want_axis] % 2 == 0
+            sharded += 1
+    assert sharded == 4 * 12  # every block's 4 big matmuls TP-sharded

@@ -54,3 +54,34 @@ def test_nearest_matches_cv2(rng):
     expected = cv2.resize(img, (80, 60), interpolation=cv2.INTER_NEAREST)
     ours = np.asarray(resize_nearest(jnp.asarray(img.astype(np.int32)), (60, 80)))
     np.testing.assert_array_equal(ours, expected.astype(np.int32))
+
+
+def test_pallas_lerp_matches_matmul_resize():
+    """The Pallas 2-tap lerp path == the dense-matmul align-corners path
+    (DPT decoder shapes + a downsample), via the interpreter on CPU."""
+    from e3d_tpu.ops import resize as rz
+
+    rng = np.random.default_rng(0)
+    for (h, w, c, h2, w2) in [(19, 19, 256, 37, 37),
+                              (148, 148, 128, 296, 296),
+                              (37, 41, 128, 20, 25)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32))
+        want = rz._apply_separable(
+            x, rz._align_corners_matrix(h, h2, "bilinear"),
+            rz._align_corners_matrix(w, w2, "bilinear"))
+        got = rz._lerp_resize_pallas(x, (h2, w2), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_pallas_lerp_bf16_close_to_f32():
+    from e3d_tpu.ops import resize as rz
+
+    rng = np.random.default_rng(1)
+    x32 = rng.normal(size=(1, 37, 37, 128)).astype(np.float32)
+    got = rz._lerp_resize_pallas(jnp.asarray(x32, jnp.bfloat16), (74, 74),
+                                 interpret=True)
+    want = rz._lerp_resize_pallas(jnp.asarray(x32), (74, 74), interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=4e-2)
