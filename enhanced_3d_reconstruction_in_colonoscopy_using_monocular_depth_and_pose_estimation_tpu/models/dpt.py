@@ -85,9 +85,13 @@ class FeatureFusionBlock(nn.Module):
                              name="resConfUnit2")(x)
         if out_hw is None:
             out_hw = (2 * x.shape[1], 2 * x.shape[2])
-        x = resize_align_corners(x, out_hw)
-        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
-                       param_dtype=jnp.float32, name="out_conv")(x)
+        # Reference order is resize -> 1x1 out_conv; a 1x1 conv commutes
+        # exactly with bilinear resize (per-pixel linear map; resize rows
+        # sum to 1, so the bias commutes too), and running it before the
+        # upsample does 4x less conv work.
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="out_conv")(x)
+        return resize_align_corners(x, out_hw)
 
 
 class DPTHead(nn.Module):

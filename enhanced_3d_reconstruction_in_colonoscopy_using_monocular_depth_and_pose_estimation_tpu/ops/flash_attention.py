@@ -53,6 +53,12 @@ _S_BF16 = os.environ.get("E3D_FLASH_S_BF16", "0") == "1"
 _DIMSEM = os.environ.get("E3D_FLASH_DIMSEM", "0") == "1"
 # Split the PV matmul's K-reduction into N independent partial dots.
 _PV_SPLIT = int(os.environ.get("E3D_FLASH_PV_SPLIT", "1"))
+# Head pairing: concat 2 heads on the feature axis and make K/V block
+# diagonal, so the score matmul contracts over 128 (full MXU depth) and
+# yields both heads' scores side by side. 2x padded FLOPs on an array
+# that idles half its depth at d=64 — net win iff d=64 runs below half
+# rate. Forward only.
+_PAIR = os.environ.get("E3D_FLASH_PAIR", "0") == "1"
 # Perf-attribution knock-outs (WRONG NUMERICS — sweep diagnostics only).
 _NO_EXP = os.environ.get("E3D_FLASH_NO_EXP", "0") == "1"
 _NO_MASK = os.environ.get("E3D_FLASH_NO_MASK", "0") == "1"
@@ -93,6 +99,80 @@ def _mask_cols(s: Array, n_valid: int) -> Array:
 
 
 # ------------------------------ forward -------------------------------------
+
+
+def _fwd_pair_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                     n_valid: int, np_: int):
+    """Paired-head forward: q (2BQ? no — (BQ, 2D)), kt (2D, 2Np) block-diag,
+    v (2Np, 2D) block-diag. Scores land as [s_h0 | s_h1]."""
+    q2 = q_ref[...]                                      # (BQ, 2D)
+    s2 = jnp.dot(q2, kt_ref[...],
+                 preferred_element_type=jnp.float32) * scale  # (BQ, 2Np)
+    ps = []
+    ls = []
+    for h in range(2):
+        s = s2[:, h * np_:(h + 1) * np_]
+        s = _mask_cols(s, n_valid)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        ps.append(p.astype(o_ref.dtype))
+        ls.append(l)
+        lse_ref[h] = m + jnp.log(l)
+    p2 = jnp.concatenate(ps, axis=1)                     # (BQ, 2Np)
+    o2 = jnp.dot(p2, v_ref[...],
+                 preferred_element_type=jnp.float32)     # (BQ, 2D)
+    d = o2.shape[1] // 2
+    o_ref[0] = (o2[:, :d] / ls[0]).astype(o_ref.dtype)
+    o_ref[1] = (o2[:, d:] / ls[1]).astype(o_ref.dtype)
+
+
+def _fwd_pair(q3, k3, v3, scale: float, n_valid: int, interpret: bool):
+    """Paired-head forward dispatch: (BH, Np, D) with even BH, D=64."""
+    bh, np_, d = q3.shape
+    bq = _block_q(n_valid)
+    # q pairs: (BH/2, Np, 2D); block-diagonal kt (BH/2, 2D, 2Np) and
+    # v (BH/2, 2Np, 2D), built XLA-side.
+    q2 = jnp.concatenate([q3[0::2], q3[1::2]], axis=2)
+    kt = jnp.swapaxes(k3, 1, 2)
+    z_k = jnp.zeros((bh // 2, d, np_), k3.dtype)
+    kt2 = jnp.concatenate([
+        jnp.concatenate([kt[0::2], z_k], axis=2),
+        jnp.concatenate([z_k, kt[1::2]], axis=2)], axis=1)
+    z_v = jnp.zeros((bh // 2, np_, d), v3.dtype)
+    v2 = jnp.concatenate([
+        jnp.concatenate([v3[0::2], z_v], axis=2),
+        jnp.concatenate([z_v, v3[1::2]], axis=2)], axis=1)
+
+    grid = (bh // 2, np_ // bq)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_pair_kernel, scale=scale, n_valid=n_valid,
+                          np_=np_),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, bq, 2 * d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2 * d, 2 * np_), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2 * np_, 2 * d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, bq, d),
+                         lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, np_, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, np_, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q2, kt2, v2)
+    # Pair b holds heads (2b, 2b+1); the output block (2, bq, d) at index
+    # (b, i) covers exactly those rows — already in order.
+    return out, lse
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
@@ -150,6 +230,8 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
          interpret: bool) -> tuple[Array, Array]:
     """q3/k3/v3: (BH, Np, D) padded. Returns (out, lse (BH, Np, 1))."""
     bh, np_, d = q3.shape
+    if _PAIR and bh % 2 == 0:
+        return _fwd_pair(q3, k3, v3, scale, n_valid, interpret)
     hb = _head_block(bh, np_, d, q3.dtype.itemsize, budget=FWD_BUDGET)
     bq = _block_q(n_valid)
     grid = (bh // hb, np_ // bq)

@@ -61,17 +61,23 @@ def _splat(points01: Array, normals: Array, grid: int):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _solve_poisson(field: Array, grid: int, smooth_sigma: float = 1.5):
-    """chi from the normal field via spectral Poisson solve."""
+    """chi from the normal field via spectral Poisson solve.
+
+    The divergence accumulates one component at a time so only ONE
+    complex half-spectrum is ever live alongside the accumulator — at the
+    reference's depth 9 (512^3, depth_to_pointcloud.py:269-272) that is
+    the difference between ~5 GB and ~2.7 GB peak HBM.
+    """
     kx = jnp.fft.fftfreq(grid)[:, None, None] * 2 * jnp.pi
     ky = jnp.fft.fftfreq(grid)[None, :, None] * 2 * jnp.pi
     kz = jnp.fft.rfftfreq(grid)[None, None, :] * 2 * jnp.pi
-    vx = jnp.fft.rfftn(field[0])
-    vy = jnp.fft.rfftn(field[1])
-    vz = jnp.fft.rfftn(field[2])
     k2 = kx * kx + ky * ky + kz * kz
+    div_hat = jnp.zeros((grid, grid, grid // 2 + 1), jnp.complex64)
+    for axis, k in ((0, kx), (1, ky), (2, kz)):
+        div_hat = div_hat + k * jnp.fft.rfftn(field[axis])
     gauss = jnp.exp(-0.5 * (smooth_sigma ** 2) * k2)
-    div_hat = 1j * (kx * vx + ky * vy + kz * vz) * gauss
-    chi_hat = jnp.where(k2 > 0, div_hat / -jnp.maximum(k2, 1e-12), 0.0)
+    chi_hat = jnp.where(
+        k2 > 0, (1j * div_hat * gauss) / -jnp.maximum(k2, 1e-12), 0.0)
     return jnp.fft.irfftn(chi_hat, s=(grid, grid, grid))
 
 

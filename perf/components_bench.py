@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from perf._timing import log, time_fn  # noqa: E402
 
-B, SIZE = 8, 518
+B, SIZE = int(os.environ.get("BENCH_B", "8")), 518
 
 
 def fill_params(model, *args):

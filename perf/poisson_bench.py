@@ -1,0 +1,81 @@
+"""Poisson reconstruction at the reference's depth 9 (512^3) on the TPU.
+
+Times the device part (splat + spectral solve) with a scalar readback,
+reports HBM peak, then runs the full poisson_mesh(grid_depth=9) pipeline
+(incl. host readback + native marching tetrahedra) on a synthetic sphere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from perf._timing import log  # noqa: E402
+
+
+def sphere_cloud(n: int = 200_000, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    points = v * 1.0
+    return points.astype(np.float32), v.astype(np.float32)
+
+
+def main() -> None:
+    from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.core.debug import (  # noqa: E501
+        device_memory_stats,
+    )
+    from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.recon.poisson import (  # noqa: E501
+        _solve_poisson, _splat, poisson_mesh,
+    )
+
+    depth = int(os.environ.get("POISSON_DEPTH", "9"))
+    grid = 1 << depth
+    log(f"backend={jax.default_backend()} grid={grid}^3")
+    points, normals = sphere_cloud()
+    pts01 = jnp.asarray((points + 1.2) / 2.4)
+    nrm = jnp.asarray(normals)
+
+    def device_part(p, n):
+        field, weight = _splat(p, n, grid)
+        chi = _solve_poisson(field, grid)
+        return jnp.mean(chi) + jnp.mean(weight)
+
+    dev_j = jax.jit(device_part)
+    t0 = time.time()
+    float(dev_j(pts01, nrm))
+    log(f"device splat+solve compile+first: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    float(dev_j(pts01, nrm))
+    dev_s = time.time() - t0
+    log(f"device splat+solve steady: {dev_s:.2f}s")
+    log(f"memory: {json.dumps(device_memory_stats())}")
+
+    t0 = time.time()
+    verts, tris = poisson_mesh(points, normals, grid_depth=depth)
+    total_s = time.time() - t0
+    log(f"full poisson_mesh(depth={depth}): {total_s:.1f}s "
+        f"({len(verts)} verts, {len(tris)} tris)")
+    # sanity: sphere radius recovered
+    r = np.linalg.norm(verts, axis=1)
+    log(f"radius mean={r.mean():.4f} std={r.std():.4f} (expect ~1.0)")
+    print(json.dumps({
+        "grid_depth": depth,
+        "device_splat_solve_s": round(dev_s, 3),
+        "full_mesh_s": round(total_s, 1),
+        "verts": int(len(verts)), "tris": int(len(tris)),
+        "radius_mean": round(float(r.mean()), 4),
+        "radius_std": round(float(r.std()), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
