@@ -3,7 +3,7 @@
 
 Usage:
     python -m ...cli.pointcloud -i <dataset_root> -ds simcol -o out/ \
-        [--voxel-size 0.01] [--mesh-depth 7] [--max-frames N]
+        [--voxel-size 0.01] [--mesh-depth 9] [--max-frames N]
 
 Parity with ``/root/reference/depth_to_pointcloud.py``: pairs RGB frames
 with predicted depths from ``Frames_*_OP`` dirs (``:53-122``), camera
@@ -81,8 +81,9 @@ def main(argv=None) -> None:
     p.add_argument("-ds", "--ds_type", default="simcol")
     p.add_argument("-o", "--outdir", default=".")
     p.add_argument("--voxel-size", type=float, default=0.01)
-    p.add_argument("--mesh-depth", type=int, default=7,
-                   help="Poisson grid depth (2^d per axis)")
+    p.add_argument("--mesh-depth", type=int, default=9,
+                   help="Poisson grid depth (2^d per axis; reference "
+                        "default 9 = 512^3 — 0.34 s solve on a v5e)")
     p.add_argument("--depth-scale", type=float, default=1000.0)
     p.add_argument("--depth-trunc", type=float, default=3.0)
     p.add_argument("--max-frames", type=int, default=0)

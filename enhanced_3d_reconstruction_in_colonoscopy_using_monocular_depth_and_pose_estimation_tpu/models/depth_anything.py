@@ -125,16 +125,53 @@ def infer_image(model: DepthAnythingV2, params, bgr: np.ndarray,
     return np.asarray(_infer(params, rgb01, net_hw, model_static))
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _run_batched(params, rgb01, net_hw, out_hw, model_static):
+    m = model_static()
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    x = resize_antialias(rgb01, net_hw, method="bicubic")
+    x = (x - mean) / std
+    depth = m.apply({"params": params}, x)
+    return resize_align_corners(depth[..., None], out_hw)[..., 0]
+
+
+@functools.lru_cache(maxsize=8)
+def _dp_runner(net_hw: tuple[int, int], out_hw: tuple[int, int],
+               model_static, n_devices: int):
+    """Data-parallel batched-inference program: batch sharded over the
+    ``data`` mesh axis, params replicated — multi-chip serving with no
+    collectives (SURVEY.md section 2c)."""
+    from ..parallel import mesh as meshlib
+
+    mesh = meshlib.build_mesh(meshlib.MeshSpec(data=n_devices, model=1))
+    rep = meshlib.replicated_sharding(mesh)
+    batch_sh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(meshlib.DATA_AXIS))
+
+    def fn(params, rgb01):
+        return _run_batched.__wrapped__(params, rgb01, net_hw, out_hw,
+                                        model_static)
+
+    jfn = jax.jit(fn, in_shardings=(rep, batch_sh), out_shardings=batch_sh)
+    return jfn, rep
+
+
 def infer_images_batched(model: DepthAnythingV2, params,
                          bgr_frames: list[np.ndarray],
                          input_size: int = 518,
-                         batch_size: int = 8) -> list[np.ndarray]:
+                         batch_size: int = 8,
+                         data_parallel: bool | None = None
+                         ) -> list[np.ndarray]:
     """Batched inference over same-resolution BGR frames.
 
     TPU-native extension of the reference's per-frame ``infer_image`` loop
     (``run.py:195-262``): frames are stacked into device batches so the
     MXU stays busy; resize/normalize/resize-back run inside the same jit.
-    Ragged tails are padded to keep one compiled program.
+    Ragged tails are padded to keep one compiled program. With multiple
+    devices (and ``batch_size`` divisible by the device count), the batch
+    is sharded over the ``data`` mesh axis (``data_parallel=None`` =
+    auto).
     """
     if not bgr_frames:
         return []
@@ -146,15 +183,16 @@ def infer_images_batched(model: DepthAnythingV2, params,
     net_hw = _lower_bound_hw(h, w, input_size)
     model_static = _ModelThunk(model)
 
-    @functools.partial(jax.jit, static_argnums=(2, 3))
-    def run(params, rgb01, net_hw, model_static):
-        m = model_static()
-        mean = jnp.asarray(IMAGENET_MEAN)
-        std = jnp.asarray(IMAGENET_STD)
-        x = resize_antialias(rgb01, net_hw, method="bicubic")
-        x = (x - mean) / std
-        depth = m.apply({"params": params}, x)
-        return resize_align_corners(depth[..., None], (h, w))[..., 0]
+    n_dev = jax.device_count()
+    use_dp = (n_dev > 1 if data_parallel is None else data_parallel)
+    use_dp = use_dp and n_dev > 1 and batch_size % n_dev == 0
+    if use_dp:
+        run_j, rep = _dp_runner(net_hw, (h, w), model_static, n_dev)
+        params = jax.device_put(params, rep)
+        run = lambda p, x: run_j(p, x)                        # noqa: E731
+    else:
+        run = lambda p, x: _run_batched(p, x, net_hw, (h, w),  # noqa: E731
+                                        model_static)
 
     outputs: list[np.ndarray] = []
     for start in range(0, len(bgr_frames), batch_size):
@@ -166,9 +204,7 @@ def infer_images_batched(model: DepthAnythingV2, params,
             arr = np.concatenate(
                 [arr, np.zeros((batch_size - n,) + arr.shape[1:],
                                np.float32)])
-        depths = np.asarray(run(params, jnp.asarray(arr), net_hw,
-                                model_static))
-        outputs.extend(depths[:n])
+        outputs.extend(np.asarray(run(params, jnp.asarray(arr)))[:n])
     return outputs
 
 

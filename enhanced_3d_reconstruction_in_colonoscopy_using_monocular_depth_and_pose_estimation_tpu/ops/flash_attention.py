@@ -59,6 +59,10 @@ _PV_SPLIT = int(os.environ.get("E3D_FLASH_PV_SPLIT", "1"))
 # that idles half its depth at d=64 — net win iff d=64 runs below half
 # rate. Forward only.
 _PAIR = os.environ.get("E3D_FLASH_PAIR", "0") == "1"
+# Scoped-VMEM ceiling in MB (0 = compiler default of 16 MB; the chip has
+# far more physical VMEM, and a higher ceiling lets Mosaic keep more
+# buffers resident / pipeline deeper).
+_VMEM_MB = int(os.environ.get("E3D_FLASH_VMEM_MB", "0"))
 # Perf-attribution knock-outs (WRONG NUMERICS — sweep diagnostics only).
 _NO_EXP = os.environ.get("E3D_FLASH_NO_EXP", "0") == "1"
 _NO_MASK = os.environ.get("E3D_FLASH_NO_MASK", "0") == "1"
@@ -248,9 +252,14 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
         k_spec = pl.BlockSpec((hb, d, np_), lambda b, i: (b, 0, 0),
                               memory_space=pltpu.VMEM)
     extra = {}
-    if _DIMSEM and not interpret:
-        extra["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"))
+    if not interpret:
+        cp = {}
+        if _DIMSEM:
+            cp["dimension_semantics"] = ("parallel", "parallel")
+        if _VMEM_MB:
+            cp["vmem_limit_bytes"] = _VMEM_MB * 2 ** 20
+        if cp:
+            extra["compiler_params"] = pltpu.CompilerParams(**cp)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid, hb=hb),
         grid=grid,

@@ -8,9 +8,10 @@ discretizes):
 
 1. splat oriented normals into a regular vector field V (trilinear
    scatter-add, one jitted program);
-2. solve the Poisson equation  laplacian(chi) = div(V)  spectrally:
-   ``chi_hat = i k . V_hat / -|k|^2`` with Gaussian regularization — the
-   FFTs run on TPU;
+2. solve the Poisson equation  laplacian(chi) = div(V): central-difference
+   divergence in real space, then spectrally
+   ``chi_hat = div_hat / -|k|^2`` with Gaussian regularization — one
+   forward FFT on TPU (512^3 fits HBM this way);
 3. iso level = mean indicator value at the input samples (trilinear
    gather, as in the paper);
 4. extract the isosurface with the native marching-tetrahedra kernel
@@ -60,25 +61,42 @@ def _splat(points01: Array, normals: Array, grid: int):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def _solve_poisson(field: Array, grid: int, smooth_sigma: float = 1.5):
-    """chi from the normal field via spectral Poisson solve.
+def _divergence(field: Array, grid: int) -> Array:
+    """Central-difference divergence of the splatted field, per-sample
+    spacing, periodic wrap (consistent with the spectral solve; the cloud
+    is padded away from the boundary). Real-space div means the solve
+    needs ONE forward FFT instead of three — at the reference's depth 9
+    (512^3, depth_to_pointcloud.py:269-272) this is what fits HBM
+    (three-spectra variant peaked at 18.5 GB on a 16 GB chip)."""
+    div = jnp.zeros((grid, grid, grid), jnp.float32)
+    for ax in range(3):
+        f = field[ax]
+        div = div + (jnp.roll(f, -1, axis=ax)
+                     - jnp.roll(f, 1, axis=ax)) * 0.5
+    return div
 
-    The divergence accumulates one component at a time so only ONE
-    complex half-spectrum is ever live alongside the accumulator — at the
-    reference's depth 9 (512^3, depth_to_pointcloud.py:269-272) that is
-    the difference between ~5 GB and ~2.7 GB peak HBM.
-    """
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _solve_poisson_from_div(div: Array, grid: int,
+                            smooth_sigma: float = 1.5) -> Array:
+    """chi from div(V) via the spectral inverse Laplacian."""
     kx = jnp.fft.fftfreq(grid)[:, None, None] * 2 * jnp.pi
     ky = jnp.fft.fftfreq(grid)[None, :, None] * 2 * jnp.pi
     kz = jnp.fft.rfftfreq(grid)[None, None, :] * 2 * jnp.pi
     k2 = kx * kx + ky * ky + kz * kz
-    div_hat = jnp.zeros((grid, grid, grid // 2 + 1), jnp.complex64)
-    for axis, k in ((0, kx), (1, ky), (2, kz)):
-        div_hat = div_hat + k * jnp.fft.rfftn(field[axis])
+    div_hat = jnp.fft.rfftn(div)
     gauss = jnp.exp(-0.5 * (smooth_sigma ** 2) * k2)
     chi_hat = jnp.where(
-        k2 > 0, (1j * div_hat * gauss) / -jnp.maximum(k2, 1e-12), 0.0)
+        k2 > 0, (div_hat * gauss) / -jnp.maximum(k2, 1e-12), 0.0)
     return jnp.fft.irfftn(chi_hat, s=(grid, grid, grid))
+
+
+def _solve_poisson(field: Array, grid: int,
+                   smooth_sigma: float = 1.5) -> Array:
+    """chi from the normal field: real-space divergence + spectral solve
+    (two jit calls so the vector field frees before the FFT runs)."""
+    div = _divergence(field, grid)
+    return _solve_poisson_from_div(div, grid, smooth_sigma)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -103,8 +121,9 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
                  density_percentile: float = 5.0, padding: float = 0.05):
     """Oriented point cloud -> (verts (V, 3), tris (T, 3)).
 
-    grid_depth: grid = 2^depth per axis (Open3D octree-depth analog; the
-    reference uses 9 — memory beware on CPU, 7-8 is usually plenty).
+    grid_depth: grid = 2^depth per axis (Open3D octree-depth analog).
+    The reference's depth 9 (512^3) runs in ~0.34 s device-side on a v5e
+    (~2.7 GB HBM, perf/poisson9.jsonl); on CPU prefer 7-8.
     density_percentile: prune vertices whose splat density is below this
     percentile (reference removes 5%).
     """
@@ -122,7 +141,10 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
     points01 = (points - lo) / extent
 
     field, weight = _splat(jnp.asarray(points01), jnp.asarray(normals), grid)
-    chi = _solve_poisson(field, grid, smooth_sigma)
+    div = _divergence(field, grid)
+    del field  # free 3x grid^3 HBM before the FFT allocates its spectra
+    chi = _solve_poisson_from_div(div, grid, smooth_sigma)
+    del div
     iso = float(jnp.mean(_trilinear_gather(chi, jnp.asarray(points01), grid)))
 
     chi_np = np.asarray(chi)

@@ -34,7 +34,7 @@ def main() -> None:
         device_memory_stats,
     )
     from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.recon.poisson import (  # noqa: E501
-        _solve_poisson, _splat, poisson_mesh,
+        _divergence, _solve_poisson_from_div, _splat, poisson_mesh,
     )
 
     depth = int(os.environ.get("POISSON_DEPTH", "9"))
@@ -46,7 +46,7 @@ def main() -> None:
 
     def device_part(p, n):
         field, weight = _splat(p, n, grid)
-        chi = _solve_poisson(field, grid)
+        chi = _solve_poisson_from_div(_divergence(field, grid), grid)
         return jnp.mean(chi) + jnp.mean(weight)
 
     dev_j = jax.jit(device_part)

@@ -106,3 +106,21 @@ def test_ply_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(back["normals"], nrm, atol=1e-5)
         np.testing.assert_allclose(back["colors"], cols, atol=1 / 255 + 1e-6)
         np.testing.assert_array_equal(back["triangles"], tris)
+
+
+@pytest.mark.slow
+def test_poisson_depth8_sphere():
+    from e3d_tpu.recon.poisson import poisson_mesh
+
+    """256^3 spectral solve + meshing (half the reference's depth-9 grid;
+    depth 9 itself is demonstrated on the TPU — perf/poisson9.jsonl,
+    README). Checks memory-lean divergence accumulation at scale."""
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(20000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    verts, tris = poisson_mesh(v.astype(np.float32), v.astype(np.float32),
+                               grid_depth=8)
+    assert len(verts) > 1000 and len(tris) > 1000
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(float(r.mean()) - 1.0) < 0.05
+    assert float(r.std()) < 0.05
