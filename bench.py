@@ -130,7 +130,9 @@ def measure_train() -> None:
         DepthTask,
     )
 
-    accum, mb, size = 4, 6, 518
+    accum = int(os.environ.get("E3D_BENCH_TRAIN_ACCUM", "4"))
+    mb = int(os.environ.get("E3D_BENCH_TRAIN_BS", "6"))
+    size = 518
     task = DepthTask(encoder="vitl", max_depth=20.0, total_steps=100,
                      grad_accum=accum, grad_checkpoint=False)
     state = task.init_state(jax.random.PRNGKey(0), (size, size),
@@ -177,7 +179,8 @@ def measure_train() -> None:
                    "value": round(train_fps, 3), "unit": "frames/s",
                    "vs_baseline": round(train_fps / tbase, 4),
                    "ms_per_step": round(best * 1000, 1),
-                   "config": "vitl 518px bs6 accum4 no-remat bf16"}, f)
+                   "config": f"vitl 518px bs{mb} accum{accum} "
+                             f"no-remat bf16"}, f)
 
 
 if __name__ == "__main__":

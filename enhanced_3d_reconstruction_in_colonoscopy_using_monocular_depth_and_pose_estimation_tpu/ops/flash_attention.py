@@ -280,6 +280,10 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale: float, n_valid: int, hb: int):
+    # NOTE: a pre-transposed-K/V variant (like the forward's _KT) was
+    # measured SLOWER here (5.42 vs 5.01 ms fwd+bwd): the extra
+    # dot_general last-dim contractions cost more than the in-kernel
+    # transposes they remove.
     for h in range(hb):
         q = q_ref[h]
         k = k_ref[h]

@@ -95,14 +95,16 @@ def test_early_stopping():
 
 
 @pytest.mark.slow
-def test_tp_matches_dp_at_vits_224(rng):
-    """TP==DP at a REAL encoder size (vits, 224 px: 257 tokens, 6 heads,
-    real DPT widths) so the TP sharding rules are validated against real
-    layer names/widths, not just the vitt toy (VERDICT r1 next #10)."""
+def test_tp_matches_dp_at_vits(rng):
+    """TP==DP at REAL vits widths (384 dim, 6 heads, fc 1536, real DPT
+    channel table) so the TP sharding rules are validated against real
+    layer names/widths, not just the vitt toy (VERDICT r1 next #10).
+    126 px keeps the CPU compile tractable; the sharding rules only see
+    layer names and widths, which are image-size independent."""
     batch = {
-        "image": jnp.asarray(rng.normal(size=(1, 4, 224, 224, 3))
+        "image": jnp.asarray(rng.normal(size=(1, 4, 126, 126, 3))
                              .astype(np.float32)),
-        "depth": jnp.asarray(rng.uniform(0.5, 19.0, size=(1, 4, 224, 224, 1))
+        "depth": jnp.asarray(rng.uniform(0.5, 19.0, size=(1, 4, 126, 126, 1))
                              .astype(np.float32)),
     }
 
@@ -110,7 +112,7 @@ def test_tp_matches_dp_at_vits_224(rng):
         task = DepthTask(encoder="vits", max_depth=20.0, total_steps=10,
                          grad_accum=1, device_mesh=mesh, policy=POLICY_F32,
                          grad_checkpoint=False, tensor_parallel=tp)
-        state = task.init_state(jax.random.PRNGKey(0), (224, 224))
+        state = task.init_state(jax.random.PRNGKey(0), (126, 126))
         state, metrics = task.train_step(state, batch)
         return state, metrics
 
@@ -130,7 +132,7 @@ def test_tp_shards_vits_params():
     task = DepthTask(encoder="vits", max_depth=20.0, total_steps=4,
                      device_mesh=mesh, policy=POLICY_F32,
                      grad_checkpoint=False, tensor_parallel=True)
-    state = task.init_state(jax.random.PRNGKey(0), (224, 224))
+    state = task.init_state(jax.random.PRNGKey(0), (126, 126))
     blocks = state.params["pretrained"]
     sharded = 0
     for name in blocks:
