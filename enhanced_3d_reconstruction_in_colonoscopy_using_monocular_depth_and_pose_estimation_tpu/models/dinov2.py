@@ -68,6 +68,24 @@ class Mlp(nn.Module):
         return x
 
 
+class _LinearParams(nn.Module):
+    """Declares an nn.Dense-compatible {kernel, bias} param pair without
+    applying it, so the Attention module can feed the packed weights to the
+    fused-layout TPU path (``ops.attention.qkv_self_attention``) while
+    keeping checkpoint/converter-identical param trees."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> tuple[Array, Array]:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
@@ -77,14 +95,18 @@ class Attention(nn.Module):
     def __call__(self, x: Array) -> Array:
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="qkv")(x)
+        w_qkv, b_qkv = _LinearParams(self.dim, 3 * self.dim, name="qkv")()
+        w_proj, b_proj = _LinearParams(self.dim, self.dim, name="proj")()
+        x = x.astype(self.dtype)
+        if attn_ops.use_fused_qkv():
+            return attn_ops.qkv_self_attention(
+                x, w_qkv, b_qkv, w_proj, b_proj, self.num_heads)
+        qkv = x @ w_qkv.astype(self.dtype) + b_qkv.astype(self.dtype)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = attn_ops.multi_head_attention(q, k, v)
         out = out.reshape(b, n, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="proj")(out)
+        return out @ w_proj.astype(self.dtype) + b_proj.astype(self.dtype)
 
 
 class LayerScale(nn.Module):

@@ -51,3 +51,48 @@ def multi_head_attention(q: Array, k: Array, v: Array) -> Array:
         from .flash_attention import flash_attention
         return flash_attention(q, k, v)
     return mha_xla(q, k, v)
+
+
+def use_fused_qkv() -> bool:
+    """Whether the encoder should take the fused-layout projection path
+    (project q/k^T/v straight into the Pallas kernel's layouts)."""
+    return not _FORCE_XLA and _on_tpu()
+
+
+def qkv_self_attention(x: Array, w_qkv: Array, b_qkv: Array,
+                       w_proj: Array, b_proj: Array, num_heads: int,
+                       interpret: bool | None = None) -> Array:
+    """Self-attention of x (B, N, C) with packed qkv/proj weights, fused
+    q/k^T/v projection layouts feeding the Pallas kernel directly.
+
+    ``w_qkv`` (C, 3C) / ``b_qkv`` (3C,) are the standard packed projection
+    parameters (column order = reshape(3, H, D), as in the reference's
+    single qkv Linear); ``w_proj`` (C, C) / ``b_proj`` (C,). Everything is
+    computed in x.dtype (bf16 on the model path) with the same contraction
+    order as the Dense-based path, so results match it to rounding.
+
+    Design note: the token pad to the kernel's block multiple happens ONCE
+    on x, and every layout change (head split, K transpose, head merge)
+    rides a matmul epilogue — replacing ~5 standalone XLA transpose/pad
+    copies of (B, N, H*D) per encoder layer in the unfused path.
+    """
+    from .flash_attention import flash_attention_fused, padded_len
+
+    b, n, c = x.shape
+    h = num_heads
+    hd = c // h
+    np_ = padded_len(n)
+    xp = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0))) if np_ != n else x
+    w = w_qkv.astype(x.dtype).reshape(c, 3, h, hd)
+    bias = b_qkv.astype(x.dtype).reshape(3, h, hd)
+    q = (jnp.einsum("bnc,chd->bhnd", xp, w[:, 0])
+         + bias[0][None, :, None, :])
+    kt = (jnp.einsum("bnc,chd->bhdn", xp, w[:, 1])
+          + bias[1][None, :, :, None])
+    v = (jnp.einsum("bnc,chd->bhnd", xp, w[:, 2])
+         + bias[2][None, :, None, :])
+    out = flash_attention_fused(q, kt, v, n_valid=n, interpret=interpret)
+    out = out[:, :, :n]                                  # (b, h, n, hd)
+    y = jnp.einsum("bhnd,hdc->bnc", out,
+                   w_proj.astype(x.dtype).reshape(h, hd, c))
+    return y + b_proj.astype(y.dtype)

@@ -63,6 +63,18 @@ _PAIR = os.environ.get("E3D_FLASH_PAIR", "0") == "1"
 # far more physical VMEM, and a higher ceiling lets Mosaic keep more
 # buffers resident / pipeline deeper).
 _VMEM_MB = int(os.environ.get("E3D_FLASH_VMEM_MB", "0"))
+# In-kernel fori_loop over the per-program heads instead of a Python
+# unroll: one score buffer is reused across heads, so FWD_BUDGET can admit
+# more heads per program without a VMEM blowout. Measured NO faster than
+# the unrolled hb=2 at the flagship shape (2.16 vs 2.13 ms) — kept as a
+# sweep knob.
+_HLOOP = os.environ.get("E3D_FLASH_HLOOP", "0") == "1"
+# Scoped-VMEM ceiling for the BACKWARD kernels. The dkv kernel's Mosaic
+# stack allocation sits right at the 16 MB default (17.12 MB with the
+# kt-layout residuals at batch 6 x 16 heads), so give the backward a
+# little headroom; v5e has far more physical VMEM than the 16 MB default
+# scoped limit.
+_BWD_VMEM_MB = int(os.environ.get("E3D_FLASH_BWD_VMEM_MB", "24"))
 # Perf-attribution knock-outs (WRONG NUMERICS — sweep diagnostics only).
 _NO_EXP = os.environ.get("E3D_FLASH_NO_EXP", "0") == "1"
 _NO_MASK = os.environ.get("E3D_FLASH_NO_MASK", "0") == "1"
@@ -181,7 +193,21 @@ def _fwd_pair(q3, k3, v3, scale: float, n_valid: int, interpret: bool):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 n_valid: int, hb: int):
+    if _HLOOP:
+        def body(h, carry):
+            _fwd_one_head(q_ref, k_ref, v_ref, o_ref, lse_ref, h,
+                          scale=scale, n_valid=n_valid)
+            return carry
+        jax.lax.fori_loop(0, hb, body, 0)
+        return
     for h in range(hb):
+        _fwd_one_head(q_ref, k_ref, v_ref, o_ref, lse_ref, h,
+                      scale=scale, n_valid=n_valid)
+
+
+def _fwd_one_head(q_ref, k_ref, v_ref, o_ref, lse_ref, h, *, scale: float,
+                  n_valid: int):
+    if True:
         q = q_ref[h]                                        # (BQ, D)
         k = k_ref[h]                                        # (Np, D) or (D, Np)
         v = v_ref[h]
@@ -231,10 +257,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 
 
 def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
-         interpret: bool) -> tuple[Array, Array]:
-    """q3/k3/v3: (BH, Np, D) padded. Returns (out, lse (BH, Np, 1))."""
+         interpret: bool, k_is_t: bool = False) -> tuple[Array, Array]:
+    """q3/v3: (BH, Np, D) padded; k3: (BH, Np, D), or (BH, D, Np) when
+    ``k_is_t`` (already transposed by the caller, e.g. fused into the K
+    projection einsum's output layout). Returns (out, lse (BH, Np, 1))."""
     bh, np_, d = q3.shape
     if _PAIR and bh % 2 == 0:
+        if k_is_t:
+            k3 = jnp.swapaxes(k3, 1, 2)
         return _fwd_pair(q3, k3, v3, scale, n_valid, interpret)
     hb = _head_block(bh, np_, d, q3.dtype.itemsize, budget=FWD_BUDGET)
     bq = _block_q(n_valid)
@@ -245,12 +275,14 @@ def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,
                         memory_space=pltpu.VMEM)
     vec_blk = pl.BlockSpec((hb, bq, 1), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
-    k_in = k3
-    k_spec = full
+    kt_spec = pl.BlockSpec((hb, d, np_), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
     if _KT:
-        k_in = jnp.swapaxes(k3, 1, 2)  # (bh, d, np) — XLA-side transpose
-        k_spec = pl.BlockSpec((hb, d, np_), lambda b, i: (b, 0, 0),
-                              memory_space=pltpu.VMEM)
+        k_in = k3 if k_is_t else jnp.swapaxes(k3, 1, 2)
+        k_spec = kt_spec
+    else:
+        k_in = jnp.swapaxes(k3, 1, 2) if k_is_t else k3
+        k_spec = full
     extra = {}
     if not interpret:
         cp = {}
@@ -345,6 +377,10 @@ def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
     vec_full = pl.BlockSpec((hb, np_, 1), lambda b, i: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     grid = (bh // hb, np_ // bq)
+    extra = {}
+    if not interpret and _BWD_VMEM_MB:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_MB * 2 ** 20)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, n_valid=n_valid,
@@ -354,6 +390,7 @@ def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((bh, np_, d), q3.dtype),
         interpret=interpret,
+        **extra,
     )(q3, k3, v3, do, lse, delta)
 
     dk, dv = pl.pallas_call(
@@ -367,6 +404,7 @@ def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
             jax.ShapeDtypeStruct((bh, np_, d), v3.dtype),
         ],
         interpret=interpret,
+        **extra,
     )(q3, k3, v3, do, lse, delta)
 
     return dq, dk, dv
@@ -387,6 +425,56 @@ def _flash_core_fwd(q3, k3, v3, scale, n_valid, interpret):
 
 
 _flash_core.defvjp(_flash_core_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core_kt(q3, kt3, v3, scale, n_valid, interpret):
+    out, _ = _fwd(q3, kt3, v3, scale, n_valid, interpret, k_is_t=True)
+    return out
+
+
+def _flash_core_kt_fwd(q3, kt3, v3, scale, n_valid, interpret):
+    out, lse = _fwd(q3, kt3, v3, scale, n_valid, interpret, k_is_t=True)
+    return out, (q3, kt3, v3, out, lse)
+
+
+def _flash_core_kt_bwd(scale, n_valid, interpret, residuals, g):
+    q3, kt3, v3, out, lse = residuals
+    k3 = jnp.swapaxes(kt3, 1, 2)
+    dq, dk, dv = _bwd(scale, n_valid, interpret, (q3, k3, v3, out, lse), g)
+    return dq, jnp.swapaxes(dk, 1, 2), dv
+
+
+_flash_core_kt.defvjp(_flash_core_kt_fwd, _flash_core_kt_bwd)
+
+
+def padded_len(n: int) -> int:
+    """Sequence length the kernel runs at for n valid tokens."""
+    bq = _block_q(n)
+    return -(-n // bq) * bq
+
+
+def flash_attention_fused(q4: Array, kt4: Array, v4: Array, n_valid: int,
+                          interpret: bool | None = None) -> Array:
+    """Fused-layout attention: q4/v4 (B, H, Np, D), kt4 (B, H, D, Np),
+    all already padded to Np = padded_len(n_valid).
+
+    The caller produces these layouts directly from the QKV projection
+    einsums (the transposes ride the matmul epilogues), so no standalone
+    XLA transpose/pad copies happen between the projection and the kernel
+    — the wrapper-side layout traffic of ``flash_attention`` (~5 tensor
+    copies per layer) disappears. Returns (B, H, Np, D); rows >= n_valid
+    are garbage and must be sliced off by the caller.
+    """
+    b, h, np_, d = q4.shape
+    if interpret is None:
+        interpret = _use_interpret()
+    scale = float(1.0 / (d ** 0.5))
+    out = _flash_core_kt(q4.reshape(b * h, np_, d),
+                         kt4.reshape(b * h, d, np_),
+                         v4.reshape(b * h, np_, d),
+                         scale, n_valid, interpret)
+    return out.reshape(b, h, np_, d)
 
 
 def flash_attention(q: Array, k: Array, v: Array,

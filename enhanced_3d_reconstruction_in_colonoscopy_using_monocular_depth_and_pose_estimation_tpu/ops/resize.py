@@ -39,6 +39,14 @@ Array = jax.Array
 # off.
 _PALLAS_RESIZE = os.environ.get("E3D_PALLAS_RESIZE", "0") == "1"
 
+# Matmul-pass order for the decoder (bf16) resizes. Measured on v5e at the
+# DPT-head shapes (perf/resize_sweep.py, perf/resize_sweep.log):
+# the hottest resize (296->518 at 128ch) runs 4.27 ms with the H-then-W
+# einsum order, 3.43 with W-then-H, 3.33 with both contractions on minor
+# axes of an NCHW transpose; the lower-res fusion resizes are
+# order-insensitive (+-1%). Default "wh" (W pass first).
+_ORDER = os.environ.get("E3D_RESIZE_ORDER", "wh")
+
 
 def _cubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
     """Keys cubic convolution kernel (PIL uses a=-0.5)."""
@@ -133,10 +141,23 @@ def _apply_separable(x: Array, mat_h: np.ndarray, mat_w: np.ndarray) -> Array:
         # f32 accumulation — full MXU rate, decoder-precision adequate.
         a_h = jnp.asarray(mat_h, jnp.bfloat16)
         a_w = jnp.asarray(mat_w, jnp.bfloat16)
-        y = jnp.einsum("oh,bhwc->bowc", a_h, x,
-                       preferred_element_type=jnp.float32)
-        y = jnp.einsum("ow,bhwc->bhoc", a_w, y.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
+        if _ORDER == "nchw":
+            t = jnp.transpose(x, (0, 3, 1, 2))
+            y = jnp.einsum("ow,bchw->bcho", a_w, t,
+                           preferred_element_type=jnp.float32)
+            y = jnp.einsum("ph,bcho->bcpo", a_h, y.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            y = jnp.transpose(y, (0, 2, 3, 1))
+        elif _ORDER == "wh":
+            y = jnp.einsum("ow,bhwc->bhoc", a_w, x,
+                           preferred_element_type=jnp.float32)
+            y = jnp.einsum("oh,bhwc->bowc", a_h, y.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        else:
+            y = jnp.einsum("oh,bhwc->bowc", a_h, x,
+                           preferred_element_type=jnp.float32)
+            y = jnp.einsum("ow,bhwc->bhoc", a_w, y.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
     else:
         # Data-pipeline path: resampling weights must not be truncated
         # (bf16 passes would bias preprocessing), so pin full f32.

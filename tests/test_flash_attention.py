@@ -49,3 +49,56 @@ def test_backward_matches_xla(rng):
     for a, b, name in zip(g_flash, g_xla, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
                                    err_msg=f"d{name}")
+
+
+def test_fused_qkv_path_matches_dense_path(rng, monkeypatch):
+    """The fused-layout projection path (qkv_self_attention: pad-once,
+    transposes fused into the projection einsums, Pallas kernel) must match
+    the Dense + mha_xla path on the same packed weights."""
+    from e3d_tpu.ops import attention as attn_ops
+
+    b, n, c, h = 2, 150, 48, 3
+    x = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    w_qkv = jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32)) * 0.2
+    b_qkv = jnp.asarray(rng.normal(size=(3 * c,)).astype(np.float32)) * 0.1
+    w_proj = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32)) * 0.2
+    b_proj = jnp.asarray(rng.normal(size=(c,)).astype(np.float32)) * 0.1
+
+    with jax.default_matmul_precision("highest"):
+        fused = attn_ops.qkv_self_attention(
+            x, w_qkv, b_qkv, w_proj, b_proj, num_heads=h, interpret=True)
+        qkv = (x @ w_qkv + b_qkv).reshape(b, n, 3, h, c // h)
+        ref = mha_xla(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        ref = ref.reshape(b, n, c) @ w_proj + b_proj
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_qkv_path_gradients(rng):
+    """Gradients through the fused path (incl. the kt-layout custom VJP)
+    match the XLA reference path."""
+    from e3d_tpu.ops import attention as attn_ops
+
+    b, n, c, h = 1, 130, 32, 2
+    x = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    w_qkv = jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32)) * 0.2
+    b_qkv = jnp.zeros((3 * c,), jnp.float32)
+    w_proj = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32)) * 0.2
+    b_proj = jnp.zeros((c,), jnp.float32)
+
+    def loss_fused(x, w_qkv, w_proj):
+        y = attn_ops.qkv_self_attention(x, w_qkv, b_qkv, w_proj, b_proj,
+                                        num_heads=h, interpret=True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(x, w_qkv, w_proj):
+        qkv = (x @ w_qkv + b_qkv).reshape(b, n, 3, h, c // h)
+        y = mha_xla(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        y = y.reshape(b, n, c) @ w_proj + b_proj
+        return jnp.sum(jnp.sin(y))
+
+    with jax.default_matmul_precision("highest"):
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w_qkv, w_proj)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w_qkv, w_proj)
+    for a, e, name in zip(g_fused, g_ref, ("x", "w_qkv", "w_proj")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4,
+                                   err_msg=f"d{name}")
