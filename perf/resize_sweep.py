@@ -118,6 +118,26 @@ def impl_gh_mm_w(x, out_hw):
     return y
 
 
+def impl_lerp2(x, out_hw):
+    """Both axes via 2-tap take+lerp in bf16 (no matmuls). Gathers on the
+    row axis are contiguous (w*c) blocks; on the col axis, c blocks."""
+    h2, w2 = out_hw
+    b, h, w, c = x.shape
+
+    def axis_lerp(t, n_in, n_out, axis):
+        lo, frac = _align_corners_taps(n_in, n_out)
+        lo_j = jnp.asarray(lo)
+        shape = [1] * t.ndim
+        shape[axis] = n_out
+        f = jnp.asarray(frac).reshape(shape).astype(t.dtype)
+        a = jnp.take(t, lo_j, axis=axis)
+        bb = jnp.take(t, lo_j + 1, axis=axis)
+        return a + (bb - a) * f
+
+    y = axis_lerp(x, h, h2, 1)
+    return axis_lerp(y, w, w2, 2)
+
+
 def impl_f32mid(x, out_hw):
     h2, w2 = out_hw
     b, h, w, c = x.shape
@@ -138,12 +158,15 @@ IMPLS = {
     "onemm": impl_onemm,
     "gh_mm_w": impl_gh_mm_w,
     "f32mid": impl_f32mid,
+    "lerp2": impl_lerp2,
 }
 
 CASES = {
     "final": ((B, 296, 296, 128), (518, 518)),
     "r1": ((B, 148, 148, 256), (296, 296)),
     "r2": ((B, 74, 74, 256), (148, 148)),
+    "r3": ((B, 37, 37, 256), (74, 74)),
+    "r4": ((B, 19, 19, 256), (37, 37)),
 }
 
 
