@@ -36,6 +36,11 @@ Array = jax.Array
 # measured fastest on v5e at the flagship (8, 1370, 16, 64) shape — see
 # perf/attn_*.jsonl). BLOCK_Q is the max query-block sublane size (multiple
 # of 16 for bf16); budgets feed ``_head_block``.
+# BQ=688 pads the flagship 1370-token sequence to 1376 instead of 704's
+# 1408 and is faster STANDALONE (fwd 2.13 -> 2.07 ms, fwd+bwd 5.04 -> 4.93,
+# perf/attn_bq688*.log) but SLOWER in-model (full fwd 107.0 -> 107.5 ms):
+# 1376 is not a lane multiple of 128, so the fused projection einsums that
+# produce the padded (B,H,D,Np)/(B,H,Np,D) operands pick worse layouts.
 BLOCK_Q = int(os.environ.get("E3D_FLASH_BLOCK_Q", "704"))
 FWD_BUDGET = int(os.environ.get("E3D_FLASH_FWD_BUDGET_KB", "768")) * 1024
 BWD_BUDGET = int(os.environ.get("E3D_FLASH_BWD_BUDGET_KB", "768")) * 1024
