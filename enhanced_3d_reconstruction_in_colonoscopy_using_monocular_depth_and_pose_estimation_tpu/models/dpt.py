@@ -56,6 +56,68 @@ class PixelExpand(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+class PackedStride2Conv(nn.Module):
+    """3x3 conv applied as the exactly-equivalent 4x4/stride-2 conv whose
+    output packs a 2x2 pixel block into the channel axis (4*features).
+
+    Why: the head's 518-px 128->32 conv leaves 3/4 of the MXU's 128 output
+    lanes idle; packing four output pixels per position fills them
+    (measured: tail 4.56 -> see perf/ logs). Param names/shapes match
+    ``nn.Conv(features, (3, 3))`` so converted checkpoints load unchanged.
+
+    out[b, 2t+q, 2s+p, c] == packed[b, t, s, (2q+p)*features + c]; the
+    packed kernel places the original 3x3 taps at offset (q, p) of a 4x4
+    window (stride 2, SAME-style (1,1) padding reproduces pad=1 exactly).
+    Requires even H and W (always true here: DPT sizes are 14*patch).
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        kd = kernel.astype(self.dtype)
+        kp = jnp.zeros((4, 4, cin, 4, self.features), kd.dtype)
+        for q in range(2):
+            for p in range(2):
+                kp = kp.at[q:q + 3, p:p + 3, :, 2 * q + p, :].set(kd)
+        kp = kp.reshape(4, 4, cin, 4 * self.features)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kp, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.tile(bias, 4).astype(y.dtype)
+
+
+class PackedPointwiseHead(nn.Module):
+    """1x1 conv (cin -> 1, f32) applied per phase of a 2x2-packed layout:
+    (B, H/2, W/2, 4*cin) -> (B, H/2, W/2, 4). Param names/shapes match
+    ``nn.Conv(1, (1, 1))`` with ``cin`` input channels."""
+
+    cin: int = 32
+
+    @nn.compact
+    def __call__(self, y: Array) -> Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.cin, 1), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
+        b, h2, w2, _ = y.shape
+        return jnp.einsum("bhwpc,c->bhwp",
+                          y.reshape(b, h2, w2, 4, self.cin),
+                          kernel[0, 0, :, 0]) + bias
+
+
+def _depth_to_space2(z: Array) -> Array:
+    """(B, H/2, W/2, 4) phase-packed (2q+p) -> (B, H, W, 1)."""
+    b, h2, w2, _ = z.shape
+    z = z.reshape(b, h2, w2, 2, 2).transpose(0, 1, 3, 2, 4)
+    return z.reshape(b, 2 * h2, 2 * w2, 1)
+
+
 class ResidualConvUnit(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
@@ -151,9 +213,13 @@ class DPTHead(nn.Module):
         # — and a 518-px f32 conv runs at the slow f32 MXU rate. The final
         # 1x1 conv + sigmoid stay f32 (bf16 sigmoid saturation costs depth
         # resolution; SURVEY.md section 7, bf16 drift risk).
-        out = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="output_conv2_0")(out)
+        #
+        # The 3x3 conv runs 2x2-phase-packed (PackedStride2Conv): its 32
+        # output channels would idle 3/4 of the MXU lanes at full
+        # resolution. The packed layout flows through ReLU and the
+        # per-phase 1x1 head conv unchanged (both pointwise) and is
+        # unpacked after the sigmoid, where the tensor is 1-channel.
+        out = PackedStride2Conv(32, self.dtype, name="output_conv2_0")(out)
         out = nn.relu(out.astype(jnp.float32))
-        out = nn.Conv(1, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32,
-                      name="output_conv2_2")(out)
-        return nn.sigmoid(out)
+        z = PackedPointwiseHead(32, name="output_conv2_2")(out)
+        return _depth_to_space2(nn.sigmoid(z))
