@@ -118,9 +118,13 @@ def main() -> None:
 def measure_train() -> None:
     """Train-step throughput diagnostic -> stderr + BENCH_TRAIN.json.
 
-    Reference best-run config (vitl 518, batch 6, grad-accum 4,
-    configs/experiments/simcol/mvitl_.../config.yaml); no remat — batch 6
-    fits v5e HBM without it and is ~17% faster (round-1 measurement).
+    Effective batch 24 like the reference best-run config (vitl 518,
+    batch 6 x grad-accum 4, configs/experiments/simcol/mvitl_.../
+    config.yaml), but laid out as batch 8 x accum 3: identical training
+    semantics (mean of equal-size group means == overall mean; same
+    per-step LR schedule), and batch 8 runs ~13%/frame faster than
+    batch 6 on the MXU (1113 vs 1203 ms/step measured, perf/
+    train_attrib.py + train_bs8a3 logs). No remat — still fits v5e HBM.
     """
     import jax
     import jax.numpy as jnp
@@ -130,8 +134,8 @@ def measure_train() -> None:
         DepthTask,
     )
 
-    accum = int(os.environ.get("E3D_BENCH_TRAIN_ACCUM", "4"))
-    mb = int(os.environ.get("E3D_BENCH_TRAIN_BS", "6"))
+    accum = int(os.environ.get("E3D_BENCH_TRAIN_ACCUM", "3"))
+    mb = int(os.environ.get("E3D_BENCH_TRAIN_BS", "8"))
     size = 518
     task = DepthTask(encoder="vitl", max_depth=20.0, total_steps=100,
                      grad_accum=accum, grad_checkpoint=False)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -196,9 +197,16 @@ class DepthTask:
                 "max_depth",
                 jnp.full((accum, mb), self.max_depth, jnp.float32))
             weight = batch.get("weight", jnp.ones((accum,), jnp.float32))
+            # unroll: letting XLA see all accumulation steps can fuse the
+            # grad-adds into the backward epilogues and drop while-loop
+            # carry traffic (~84 ms/step of scan+accum overhead measured
+            # at vitl bs6 accum4, perf/train_attrib.py). Env-tunable for
+            # sweeps; compile time grows with the unroll factor.
+            unroll = int(os.environ.get("E3D_ACCUM_UNROLL", "1"))
             (grads, loss_sum, met_sum), _ = jax.lax.scan(
                 micro, (zero_grads, jnp.zeros((), jnp.float32), zero_mets),
-                (batch["image"], batch["depth"], maxd, weight))
+                (batch["image"], batch["depth"], maxd, weight),
+                unroll=min(unroll, accum) if unroll > 1 else 1)
 
             inv_a = 1.0 / jnp.maximum(jnp.sum(weight), 1e-6)
             grads = jax.tree.map(lambda g: g * inv_a, grads)

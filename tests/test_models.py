@@ -170,3 +170,61 @@ def test_conv_bn_matches_torch(rng):
         ours = Mini().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     ours = np.asarray(ours).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ours, yt, atol=2e-4)
+
+
+def test_packed_stride2_conv_matches_plain_conv():
+    """PackedStride2Conv == nn.Conv(F, (3,3), pad 1) + its per-phase
+    pointwise head == nn.Conv(1, (1,1)), including gradients.
+
+    The packed form exists purely for MXU lane utilization at the 518 px
+    tail (models/dpt.py); this pins the exact-equivalence claim at several
+    even sizes.
+    """
+    import flax.linen as nn
+
+    from e3d_tpu.models.dpt import (
+        PackedPointwiseHead,
+        PackedStride2Conv,
+        _depth_to_space2,
+    )
+
+    rng = np.random.default_rng(0)
+    for (h, w, cin, feat) in [(14, 14, 16, 8), (28, 42, 8, 4)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)), jnp.float32)
+
+        packed = PackedStride2Conv(feat, dtype=jnp.float32)
+        pvars = packed.init(jax.random.PRNGKey(1), x)
+        plain = nn.Conv(feat, (3, 3), padding=1, dtype=jnp.float32,
+                        param_dtype=jnp.float32)
+        y_ref = plain.apply({"params": pvars["params"]}, x)
+
+        y_pk = packed.apply(pvars, x)
+        b, h2, w2, _ = y_pk.shape
+        assert (h2, w2) == (h // 2, w // 2)
+        y_un = y_pk.reshape(b, h2, w2, 2, 2, feat).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, h, w, feat)
+        np.testing.assert_allclose(np.asarray(y_un), np.asarray(y_ref),
+                                   atol=1e-5)
+
+        # Per-phase pointwise head == 1x1 conv on the unpacked layout.
+        head = PackedPointwiseHead(feat)
+        hvars = head.init(jax.random.PRNGKey(2),
+                          jnp.zeros((1, 2, 2, 4 * feat)))
+        z_pk = _depth_to_space2(head.apply(hvars, y_pk))
+        plain_head = nn.Conv(1, (1, 1), dtype=jnp.float32,
+                             param_dtype=jnp.float32)
+        z_ref = plain_head.apply({"params": hvars["params"]}, y_ref)
+        np.testing.assert_allclose(np.asarray(z_pk), np.asarray(z_ref),
+                                   atol=1e-5)
+
+        # Gradients w.r.t. the shared kernel agree.
+        def loss_packed(p):
+            return jnp.sum(packed.apply({"params": p}, x) ** 2)
+
+        def loss_plain(p):
+            return jnp.sum(plain.apply({"params": p}, x) ** 2)
+
+        g_pk = jax.grad(loss_packed)(pvars["params"])
+        g_pl = jax.grad(loss_plain)(pvars["params"])
+        np.testing.assert_allclose(np.asarray(g_pk["kernel"]),
+                                   np.asarray(g_pl["kernel"]), atol=1e-3)

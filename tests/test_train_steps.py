@@ -159,3 +159,28 @@ def test_fit_depth_steps_on_trailing_partial_group(tmp_path, rng):
                       log_dir=str(tmp_path / "logs"),
                       ckpt_dir=str(tmp_path / "ckpt"))
     assert int(state.step) == 3
+
+
+def test_depth_train_step_unrolled_accum_matches(rng, monkeypatch):
+    """E3D_ACCUM_UNROLL (XLA-visible accumulation steps, a TPU perf knob —
+    see perf/train_attrib.py) must not change training numerics."""
+    def run(unroll):
+        monkeypatch.setenv("E3D_ACCUM_UNROLL", str(unroll))
+        mesh = build_mesh(MeshSpec(data=8, model=1))
+        task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                         grad_accum=2, device_mesh=mesh,
+                         policy=e3d_tpu.core.POLICY_F32,
+                         grad_checkpoint=False)
+        state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+        batch = make_depth_batch(np.random.default_rng(7))
+        state, metrics = task.train_step(state, batch)
+        return float(metrics["loss"]), state
+
+    loss_scan, state_scan = run(1)
+    loss_unr, state_unr = run(2)
+    assert np.isclose(loss_scan, loss_unr, rtol=1e-6)
+    a = jax.tree_util.tree_leaves(state_scan.params)
+    b = jax.tree_util.tree_leaves(state_unr.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=2e-6)
