@@ -68,6 +68,14 @@ _PAIR = os.environ.get("E3D_FLASH_PAIR", "0") == "1"
 # far more physical VMEM, and a higher ceiling lets Mosaic keep more
 # buffers resident / pipeline deeper).
 _VMEM_MB = int(os.environ.get("E3D_FLASH_VMEM_MB", "0"))
+# Software-pipeline the unrolled heads: issue head h+1's score matmul
+# before head h's softmax+PV, exposing an independent MXU chain to the
+# Mosaic scheduler during the VPU softmax. Standalone 2.099 vs 2.13 ms at
+# the flagship shape with the default hb=2 (perf/attn_pipe.log) but
+# NEUTRAL in-model (full fwd 103.50 vs 103.42 ms); larger head-blocks
+# blow scoped VMEM (hb=4: 21.5 MB) or compile pathologically. Sweep knob,
+# default off.
+_PIPE = os.environ.get("E3D_FLASH_PIPE", "0") == "1"
 # In-kernel fori_loop over the per-program heads instead of a Python
 # unroll: one score buffer is reused across heads, so FWD_BUDGET can admit
 # more heads per program without a VMEM blowout. Measured NO faster than
@@ -196,8 +204,51 @@ def _fwd_pair(q3, k3, v3, scale: float, n_valid: int, interpret: bool):
     return out, lse
 
 
+def _fwd_scores(q_ref, k_ref, h, *, scale: float, n_valid: int):
+    """Score stage of one head: (BQ, Np) f32, scaled and masked."""
+    q = q_ref[h]
+    k = k_ref[h]
+    if _KT:
+        s = jnp.dot(q, k, preferred_element_type=jnp.float32)
+    elif _DOTGEN:
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    else:
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    return _mask_cols(s * scale, n_valid)
+
+
+def _fwd_finish(v_ref, o_ref, lse_ref, h, s):
+    """Softmax + PV stage of one head, consuming the score block."""
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[h],
+                preferred_element_type=jnp.float32) / l
+    o_ref[h] = o.astype(o_ref.dtype)
+    lse_ref[h] = m + jnp.log(l)
+
+
+def _fwd_kernel_pipe(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                     n_valid: int, hb: int):
+    """Software-pipelined head unroll: head h+1's score matmul (MXU) is
+    issued before head h's softmax (VPU) + PV, giving the scheduler an
+    independent MXU chain to overlap with the VPU work. Two score blocks
+    are live at a time."""
+    s = _fwd_scores(q_ref, k_ref, 0, scale=scale, n_valid=n_valid)
+    for h in range(hb):
+        s_next = (_fwd_scores(q_ref, k_ref, h + 1, scale=scale,
+                              n_valid=n_valid) if h + 1 < hb else None)
+        _fwd_finish(v_ref, o_ref, lse_ref, h, s)
+        s = s_next
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 n_valid: int, hb: int):
+    if _PIPE:
+        _fwd_kernel_pipe(q_ref, k_ref, v_ref, o_ref, lse_ref, scale=scale,
+                         n_valid=n_valid, hb=hb)
+        return
     if _HLOOP:
         def body(h, carry):
             _fwd_one_head(q_ref, k_ref, v_ref, o_ref, lse_ref, h,
