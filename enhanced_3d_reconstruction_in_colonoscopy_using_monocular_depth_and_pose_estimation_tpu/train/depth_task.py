@@ -197,16 +197,33 @@ class DepthTask:
                 "max_depth",
                 jnp.full((accum, mb), self.max_depth, jnp.float32))
             weight = batch.get("weight", jnp.ones((accum,), jnp.float32))
-            # unroll: letting XLA see all accumulation steps can fuse the
-            # grad-adds into the backward epilogues and drop while-loop
-            # carry traffic (~84 ms/step of scan+accum overhead measured
-            # at vitl bs6 accum4, perf/train_attrib.py). Env-tunable for
-            # sweeps; compile time grows with the unroll factor.
+            # Accumulation layouts (E3D_ACCUM_MODE, measured in
+            # perf/train_attrib.py at vitl-518):
+            #   scan    - lax.scan over microbatches (default; ~25 ms of
+            #             carry/add overhead per microbatch beyond the
+            #             fwd+bwd itself).
+            #   barrier - unrolled Python loop with an optimization
+            #             barrier on the carry between microbatches: XLA
+            #             can fuse the grad-adds into backward epilogues
+            #             but cannot interleave microbatch live ranges
+            #             (a plain unroll OOMs HBM: 19.6 G needed).
+            # E3D_ACCUM_UNROLL>1 additionally unrolls the scan body.
+            mode = os.environ.get("E3D_ACCUM_MODE", "scan")
             unroll = int(os.environ.get("E3D_ACCUM_UNROLL", "1"))
-            (grads, loss_sum, met_sum), _ = jax.lax.scan(
-                micro, (zero_grads, jnp.zeros((), jnp.float32), zero_mets),
-                (batch["image"], batch["depth"], maxd, weight),
-                unroll=min(unroll, accum) if unroll > 1 else 1)
+            carry = (zero_grads, jnp.zeros((), jnp.float32), zero_mets)
+            if mode == "barrier":
+                for a in range(accum):
+                    xs = (batch["image"][a], batch["depth"][a], maxd[a],
+                          weight[a])
+                    carry, _ = micro(carry, xs)
+                    if a + 1 < accum:
+                        carry = jax.lax.optimization_barrier(carry)
+                grads, loss_sum, met_sum = carry
+            else:
+                (grads, loss_sum, met_sum), _ = jax.lax.scan(
+                    micro, carry,
+                    (batch["image"], batch["depth"], maxd, weight),
+                    unroll=min(unroll, accum) if unroll > 1 else 1)
 
             inv_a = 1.0 / jnp.maximum(jnp.sum(weight), 1e-6)
             grads = jax.tree.map(lambda g: g * inv_a, grads)

@@ -184,3 +184,27 @@ def test_depth_train_step_unrolled_accum_matches(rng, monkeypatch):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_depth_train_step_barrier_accum_matches(rng, monkeypatch):
+    """E3D_ACCUM_MODE=barrier (unrolled accumulation with an optimization
+    barrier between microbatches) must match the scan layout exactly."""
+    def run(mode):
+        monkeypatch.setenv("E3D_ACCUM_MODE", mode)
+        mesh = build_mesh(MeshSpec(data=8, model=1))
+        task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                         grad_accum=2, device_mesh=mesh,
+                         policy=e3d_tpu.core.POLICY_F32,
+                         grad_checkpoint=False)
+        state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+        batch = make_depth_batch(np.random.default_rng(7))
+        state, metrics = task.train_step(state, batch)
+        return float(metrics["loss"]), state
+
+    loss_scan, state_scan = run("scan")
+    loss_bar, state_bar = run("barrier")
+    assert np.isclose(loss_scan, loss_bar, rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(state_scan.params),
+                    jax.tree_util.tree_leaves(state_bar.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=2e-6)
