@@ -186,6 +186,55 @@ def measure_train() -> None:
                    "config": f"vitl 518px bs{mb} accum{accum} "
                              f"no-remat bf16"}, f)
 
+    measure_pose_train(repo)
+
+
+def measure_pose_train(repo: str) -> None:
+    """Pose-net train-step throughput -> stderr + BENCH_POSE.json.
+
+    Reference pose flow (``pose_estimation_lightning.py``): ResNet-18 on
+    8-channel frame pairs, 518 px, batch 64
+    (``configs/pose_estimation/default.yaml``).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.train.pose_task import (  # noqa: E501
+        PoseTask,
+    )
+
+    bs, size = 64, 518
+    task = PoseTask(total_steps=100)
+    state = task.init_state(jax.random.PRNGKey(0), (size, size))
+    rng = np.random.default_rng(0)
+    batch = {
+        "input": jnp.asarray(rng.normal(size=(bs, size, size, 8))
+                             .astype(np.float32)),
+        "target": jnp.asarray(rng.normal(size=(bs, 7)).astype(np.float32)),
+    }
+    t0 = time.time()
+    state, metrics = task.train_step(state, batch)
+    float(metrics["loss"])
+    log(f"pose train compile+first-step: {time.time() - t0:.1f}s")
+    steps = 5
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(steps):
+            state, metrics = task.train_step(state, batch)
+        float(metrics["loss"])
+        best = min(best, (time.time() - t0) / steps)
+    fps = bs / best
+    log(f"pose train: {best * 1000:.0f} ms/step (bs {bs}), "
+        f"{fps:.1f} pairs/s")
+    with open(os.path.join(repo, "BENCH_POSE.json"), "w",
+              encoding="utf-8") as f:
+        json.dump({"metric": "pose_resnet18_518_train_fps_per_chip",
+                   "value": round(fps, 1), "unit": "pairs/s",
+                   "ms_per_step": round(best * 1000, 1),
+                   "config": f"resnet18-8ch 518px bs{bs} f32"}, f)
+
 
 if __name__ == "__main__":
     main()
