@@ -21,6 +21,7 @@ matmul-based ``resize_align_corners``.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -207,7 +208,9 @@ class DPTHead(nn.Module):
 
         out = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
                       param_dtype=jnp.float32, name="output_conv1")(path1)
-        out = resize_align_corners(out, (patch_h * 14, patch_w * 14))
+        out = resize_align_corners(out, (patch_h * 14, patch_w * 14),
+                                   order=os.environ.get("E3D_FINAL_RESIZE_ORDER")
+                                   or None)
         # First head conv in compute dtype: its input just came through a
         # compute-dtype resize, so there is no extra precision to preserve
         # — and a 518-px f32 conv runs at the slow f32 MXU rate. The final

@@ -122,8 +122,13 @@ def _align_corners_matrix(in_size: int, out_size: int, method: str) -> np.ndarra
     return mat.astype(np.float32)
 
 
-def _apply_separable(x: Array, mat_h: np.ndarray, mat_w: np.ndarray) -> Array:
-    """Apply per-axis resize matrices to NHWC (or HWC / HW) images."""
+def _apply_separable(x: Array, mat_h: np.ndarray, mat_w: np.ndarray,
+                     order: str | None = None) -> Array:
+    """Apply per-axis resize matrices to NHWC (or HWC / HW) images.
+
+    ``order`` overrides the global ``E3D_RESIZE_ORDER`` for one call site
+    (pass orders interact with the producer/consumer layouts, so the best
+    order is per-shape — see perf/resize_sweep.log)."""
     squeeze_batch = False
     squeeze_chan = False
     if x.ndim == 2:
@@ -141,14 +146,15 @@ def _apply_separable(x: Array, mat_h: np.ndarray, mat_w: np.ndarray) -> Array:
         # f32 accumulation — full MXU rate, decoder-precision adequate.
         a_h = jnp.asarray(mat_h, jnp.bfloat16)
         a_w = jnp.asarray(mat_w, jnp.bfloat16)
-        if _ORDER == "nchw":
+        eff = order or _ORDER
+        if eff == "nchw":
             t = jnp.transpose(x, (0, 3, 1, 2))
             y = jnp.einsum("ow,bchw->bcho", a_w, t,
                            preferred_element_type=jnp.float32)
             y = jnp.einsum("ph,bcho->bcpo", a_h, y.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
             y = jnp.transpose(y, (0, 2, 3, 1))
-        elif _ORDER == "wh":
+        elif eff == "wh":
             y = jnp.einsum("ow,bhwc->bhoc", a_w, x,
                            preferred_element_type=jnp.float32)
             y = jnp.einsum("oh,bhwc->bowc", a_h, y.astype(jnp.bfloat16),
@@ -212,7 +218,8 @@ def _lerp_axis(x: Array, in_size: int, out_size: int, axis: int) -> Array:
 
 
 def resize_align_corners(x: Array, out_hw: tuple[int, int],
-                         method: str = "bilinear") -> Array:
+                         method: str = "bilinear",
+                         order: str | None = None) -> Array:
     """torch ``F.interpolate(..., align_corners=True)``-style resize.
 
     Implementation notes: an XLA gather+lerp 2-tap path was measured
@@ -233,6 +240,7 @@ def resize_align_corners(x: Array, out_hw: tuple[int, int],
         x,
         _align_corners_matrix(h_in, h_out, method),
         _align_corners_matrix(w_in, w_out, method),
+        order=order,
     )
 
 
