@@ -4,11 +4,14 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Metric: DepthAnythingV2-vitl 518 px inference throughput (frames/sec/chip),
-bf16 activations / f32 params, batch 8 — the hot path of the reference's
-``run.py`` / ``test_lightning.py`` flows. The reference publishes no
-throughput numbers (BASELINE.md), so ``vs_baseline`` is measured against
-``BENCH_BASELINE.json`` in this repo (written on first run) — i.e. round-1
-performance is the baseline and later rounds show the speedup.
+bf16 activations / f32 params, batch 64 — the reference's own eval batch
+(``configs/dataset/*.yaml`` batch_size: 64, the ``test_lightning.py`` hot
+path). Batch sweep on v5e (ms/frame): bs8 12.93, bs16 12.95, bs32 13.42,
+bs64 12.07 (perf/full_bs*.log) — 64 compiles to the best layouts. The
+reference publishes no throughput numbers (BASELINE.md), so
+``vs_baseline`` is measured against ``BENCH_BASELINE.json`` in this repo
+(written on first run) — i.e. round-1 performance is the baseline and
+later rounds show the speedup.
 
 Extra diagnostics go to stderr only.
 """
@@ -42,7 +45,7 @@ def main() -> None:
     )
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
-    batch = 8
+    batch = int(os.environ.get("E3D_BENCH_BS", "64"))
     model = build_depth_model("vitl", max_depth=20.0, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     image = jnp.asarray(
