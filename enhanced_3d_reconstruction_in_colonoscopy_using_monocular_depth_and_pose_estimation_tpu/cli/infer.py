@@ -98,7 +98,8 @@ def main(argv=None) -> None:
     os.makedirs(args.outdir, exist_ok=True)
     if args.batch_size == 1 and len(filenames) > 8:
         print("Hint: --batch-size 1 is the reference-parity per-frame loop "
-              "(~8x slower on TPU than --batch-size 8 batched inference).")
+              "(~10x slower on TPU than batched inference; "
+              "--batch-size 64 measured fastest per frame on v5e).")
 
     # Skip-existing first (run.py:224-230 idempotence).
     todo = []
