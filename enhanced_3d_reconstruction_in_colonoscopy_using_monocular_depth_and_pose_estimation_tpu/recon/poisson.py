@@ -24,6 +24,7 @@ discretizes):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -147,7 +148,15 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
     del div
     iso = float(jnp.mean(_trilinear_gather(chi, jnp.asarray(points01), grid)))
 
-    chi_np = np.asarray(chi)
+    # Tunnel-friendly readback: the indicator in f16 halves the host
+    # transfer (536 -> 268 MB at 512^3; large reads dominate the depth-9
+    # end-to-end time through the axon tunnel). Iso-crossing positions
+    # shift by O(f16 eps / cell gradient) — the exact-cylinder fixture's
+    # radius std is unchanged (tests/test_recon_geometric.py).
+    if os.environ.get("E3D_POISSON_READBACK", "f16") == "f16":
+        chi_np = np.asarray(np.asarray(chi.astype(jnp.float16)), np.float32)
+    else:
+        chi_np = np.asarray(chi)
     spacing = extent / (grid - 1)
     verts, tris = marching_tetrahedra(chi_np, iso, lo, spacing)
     if len(verts) == 0:
