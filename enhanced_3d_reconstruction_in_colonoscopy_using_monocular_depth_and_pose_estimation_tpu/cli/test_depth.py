@@ -48,7 +48,13 @@ def load_params(checkpoint_path: str, encoder: str, task, size: int = 518):
 
         mgr = CheckpointManager(checkpoint_path)
         template = task.init_state(jax.random.PRNGKey(0), (size, size))
-        state = mgr.restore_latest(template)
+        # Reference test semantics evaluate the BEST-val checkpoint
+        # (ModelCheckpoint(save_top_k=1) + test flow,
+        # /root/reference/main_lightning.py:109-115); fall back to latest
+        # for checkpoints saved without metrics.
+        state = mgr.restore_best(template)
+        if state is None:
+            state = mgr.restore_latest(template)
         if state is None:
             raise FileNotFoundError(f"no checkpoints in {checkpoint_path}")
         return state.params

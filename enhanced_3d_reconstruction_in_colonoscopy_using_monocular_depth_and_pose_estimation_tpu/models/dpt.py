@@ -77,6 +77,8 @@ class PackedStride2Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, \
+            f"PackedStride2Conv needs even H/W, got {x.shape}"
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features), jnp.float32)

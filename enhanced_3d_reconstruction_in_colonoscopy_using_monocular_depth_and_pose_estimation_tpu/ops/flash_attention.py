@@ -93,6 +93,12 @@ _NO_EXP = os.environ.get("E3D_FLASH_NO_EXP", "0") == "1"
 _NO_MASK = os.environ.get("E3D_FLASH_NO_MASK", "0") == "1"
 _NO_SCALE = os.environ.get("E3D_FLASH_NO_SCALE", "0") == "1"
 _NO_MAXSUB = os.environ.get("E3D_FLASH_NO_MAXSUB", "0") == "1"
+# The pipelined forward (_fwd_scores/_fwd_finish) implements only the
+# default numerics; refuse knob combinations it would silently ignore.
+if _PIPE:
+    assert not (_S_BF16 or EXP_BF16 or _PV_SPLIT > 1 or _NO_EXP or _NO_MASK
+                or _NO_SCALE or _NO_MAXSUB), \
+        "E3D_FLASH_PIPE=1 is incompatible with the numerics/diagnostic knobs"
 NEG_INF = -1e30
 
 
@@ -263,53 +269,52 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 
 def _fwd_one_head(q_ref, k_ref, v_ref, o_ref, lse_ref, h, *, scale: float,
                   n_valid: int):
-    if True:
-        q = q_ref[h]                                        # (BQ, D)
-        k = k_ref[h]                                        # (Np, D) or (D, Np)
-        v = v_ref[h]
-        if _KT:
-            s = jnp.dot(q, k, preferred_element_type=jnp.float32)
-        elif _DOTGEN:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        else:
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        if _S_BF16:
-            # bf16 score buffer (MXU still accumulates f32): halves the
-            # VMEM traffic of the softmax passes.
-            s = s.astype(jnp.bfloat16)
-        if not _NO_SCALE:
-            s = s * scale
-        if not _NO_MASK:
-            s = _mask_cols(s, n_valid)
-        if _NO_MAXSUB:
-            m = jnp.zeros((s.shape[0], 1), jnp.float32)
-        else:
-            m = jnp.max(s, axis=1, keepdims=True)
-        if _NO_EXP:
-            p = s - m
-            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-        elif EXP_BF16:
-            # exp on bf16: the softmax weights feed a bf16 matmul anyway;
-            # row statistics (m, l) stay f32.
-            p = jnp.exp((s - m).astype(jnp.bfloat16))
-            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-        else:
-            p = jnp.exp(s - m)
-            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-        pb = p.astype(v.dtype)
-        if _PV_SPLIT > 1:
-            nk = v.shape[0] // _PV_SPLIT
-            o = sum(jnp.dot(pb[:, c * nk:(c + 1) * nk],
-                            v[c * nk:(c + 1) * nk],
-                            preferred_element_type=jnp.float32)
-                    for c in range(_PV_SPLIT))
-        else:
-            o = jnp.dot(pb, v, preferred_element_type=jnp.float32)
-        o = o / l
-        o_ref[h] = o.astype(o_ref.dtype)
-        lse_ref[h] = m.astype(jnp.float32) + jnp.log(l)
+    q = q_ref[h]                                        # (BQ, D)
+    k = k_ref[h]                                        # (Np, D) or (D, Np)
+    v = v_ref[h]
+    if _KT:
+        s = jnp.dot(q, k, preferred_element_type=jnp.float32)
+    elif _DOTGEN:
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    if _S_BF16:
+        # bf16 score buffer (MXU still accumulates f32): halves the
+        # VMEM traffic of the softmax passes.
+        s = s.astype(jnp.bfloat16)
+    if not _NO_SCALE:
+        s = s * scale
+    if not _NO_MASK:
+        s = _mask_cols(s, n_valid)
+    if _NO_MAXSUB:
+        m = jnp.zeros((s.shape[0], 1), jnp.float32)
+    else:
+        m = jnp.max(s, axis=1, keepdims=True)
+    if _NO_EXP:
+        p = s - m
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    elif EXP_BF16:
+        # exp on bf16: the softmax weights feed a bf16 matmul anyway;
+        # row statistics (m, l) stay f32.
+        p = jnp.exp((s - m).astype(jnp.bfloat16))
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    else:
+        p = jnp.exp(s - m)
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    pb = p.astype(v.dtype)
+    if _PV_SPLIT > 1:
+        nk = v.shape[0] // _PV_SPLIT
+        o = sum(jnp.dot(pb[:, c * nk:(c + 1) * nk],
+                        v[c * nk:(c + 1) * nk],
+                        preferred_element_type=jnp.float32)
+                for c in range(_PV_SPLIT))
+    else:
+        o = jnp.dot(pb, v, preferred_element_type=jnp.float32)
+    o = o / l
+    o_ref[h] = o.astype(o_ref.dtype)
+    lse_ref[h] = m.astype(jnp.float32) + jnp.log(l)
 
 
 def _fwd(q3: Array, k3: Array, v3: Array, scale: float, n_valid: int,

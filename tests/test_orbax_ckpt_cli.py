@@ -42,3 +42,36 @@ def test_train_then_test_with_orbax_ckpt(tmp_path_factory, tmp_path,
     results = json.loads(out.read_text())
     assert np.isfinite(results["overall_metrics"]["abs_rel"]["mean"])
     assert results["checkpoint"] == str(ckpt_dirs[0])
+
+
+def test_load_params_restores_best_not_latest(tmp_path):
+    """With max_to_keep>1 the test CLI must evaluate the BEST-val
+    checkpoint (reference ModelCheckpoint semantics,
+    /root/reference/main_lightning.py:109-115), not the latest."""
+    import jax
+    import jax.numpy as jnp
+
+    from e3d_tpu.cli.test_depth import load_params
+    from e3d_tpu.core.checkpoint import CheckpointManager
+    from e3d_tpu.train.depth_task import DepthTask
+
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=2,
+                     grad_accum=1, grad_checkpoint=False)
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=2)
+    # Step 1 is the best (val_loss 0.1); step 2 is latest but worse.
+    mgr.save(1, state, {"val_loss": 0.1})
+    bumped = type(state)(
+        jax.tree.map(lambda p: p + 1.0, state.params),
+        state.opt_state, state.step + 1)
+    mgr.save(2, bumped, {"val_loss": 0.5})
+    mgr.close()
+
+    best_leaf = jax.tree.leaves(state.params)[0]
+    loaded = load_params(ckpt_dir, "vitt", task, size=56)
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(loaded)[0]),
+                               np.asarray(best_leaf))
+    assert not np.allclose(np.asarray(jax.tree.leaves(loaded)[0]),
+                           np.asarray(jax.tree.leaves(bumped.params)[0]))
