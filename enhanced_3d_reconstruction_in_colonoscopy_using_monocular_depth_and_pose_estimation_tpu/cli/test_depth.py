@@ -68,6 +68,7 @@ def main(argv: list[str] | None = None) -> None:
     from ..core import config as cfglib
     from ..core.dtypes import policy_from_precision
     from ..data.preprocess import DevicePreprocessor
+    from ..parallel import mesh as meshlib
     from ..train.depth_task import DepthTask
     from .train_depth import build_datamodule, resolve_max_depth
 
@@ -89,34 +90,66 @@ def main(argv: list[str] | None = None) -> None:
                    float(cfg.model.c3vd_max_depth) / 10.0)
                   if combined else None)
 
+    # Evaluation scales over the data axis like training: batches are
+    # assembled as global arrays sharded over the mesh (reference runs
+    # Trainer.test on the trainer's devices, test_lightning.py:227-238).
+    if (bool(cfg.trainer.get("distributed", False))
+            or "JAX_COORDINATOR_ADDRESS" in os.environ):
+        meshlib.init_distributed()
+    mesh = meshlib.build_mesh(meshlib.MeshSpec(
+        data=int(cfg.trainer.get("mesh_data", -1)),
+        model=int(cfg.trainer.get("mesh_model", 1))))
+    tensor_parallel = bool(cfg.trainer.get("tensor_parallel", False))
+
     task = DepthTask(
         encoder=cfg.model.encoder,
         min_depth=float(cfg.model.min_depth),
         max_depth=max_depth,
         policy=policy_from_precision(str(cfg.trainer.precision)),
         grad_checkpoint=False,
+        device_mesh=mesh,
+        tensor_parallel=tensor_parallel,
     )
     params = load_params(checkpoint_path, cfg.model.encoder, task,
                          size=int(cfg.dataset.size))
-    params = jax.device_put(params)
+    params = jax.device_put(
+        params, meshlib.param_shardings(mesh, params, tensor_parallel))
 
     pre = DevicePreprocessor(size=datamodule.size)
     per_proc: dict[str, dict[str, list[float]]] = {}
     overall: dict[str, list[float]] = {k: [] for k in METRIC_KEYS}
+    src_names = {0: "SimCol", 1: "C3VD"}
+    per_source: dict[str, dict[str, list[float]]] = {
+        name: {k: [] for k in METRIC_KEYS} for name in src_names.values()
+    } if combined else {}
 
     for batch in datamodule.test_loader():
-        prepped = pre(batch, train=False, max_depths=max_depths)
+        replicated = bool(batch.pop("_replicated", False))
+        jbatch = meshlib.shard_batch(mesh, batch,
+                                     force_replicated=replicated)
+        prepped = pre(jbatch, train=False, max_depths=max_depths)
         sample_metrics = task.eval_step_per_sample(params, prepped)
-        sample_metrics = {k: np.asarray(v) for k, v in
+        # local_rows: this process's rows of the sharded (B,) metric
+        # arrays — they line up with the locally-loaded sample ids.
+        sample_metrics = {k: meshlib.local_rows(v) for k, v in
                           sample_metrics.items()}
+        sources = (np.asarray(batch["source"]).astype(int)
+                   if combined and "source" in batch else None)
         for i, ds_field in enumerate(batch["dataset"]):
             proc = parse_procedure(str(ds_field))
             bucket = per_proc.setdefault(
                 proc, {k: [] for k in METRIC_KEYS})
+            # C3VD trains in the /10 cm convention; report l1/rmse back
+            # in mm (lightning_model_combined.py:372-391).
+            mm = 10.0 if sources is not None and sources[i] == 1 else 1.0
             for k in METRIC_KEYS:
                 val = float(sample_metrics[k][i])
+                if k in ("l1", "rmse"):
+                    val *= mm
                 bucket[k].append(val)
                 overall[k].append(val)
+                if sources is not None:
+                    per_source[src_names[sources[i]]][k].append(val)
 
     # Reference aggregation (test_lightning.py:240-283): per-procedure
     # means first, then overall = mean/std ACROSS PROCEDURES — this is how
@@ -144,6 +177,16 @@ def main(argv: list[str] | None = None) -> None:
         "encoder": cfg.model.encoder,
         "ds_type": cfg.dataset.ds_type,
     }
+    if combined:
+        results["source_metrics"] = {
+            name: {
+                "count": len(next(iter(buckets.values()))),
+                **{k: {"mean": float(np.mean(v)) if v else float("nan"),
+                       "std": float(np.std(v)) if v else float("nan")}
+                   for k, v in buckets.items()},
+            }
+            for name, buckets in per_source.items()
+        }
 
     print("\n== per-procedure metrics ==")
     for proc, means in proc_means.items():
@@ -155,8 +198,12 @@ def main(argv: list[str] | None = None) -> None:
 
     out_dir = os.environ.get("E3D_RESULTS_DIR", "test_lightning_results")
     os.makedirs(out_dir, exist_ok=True)
+    # Multi-process runs: each process covered its own rows; write
+    # per-process shards (merge offline) instead of overwriting.
+    suffix = (f"_p{jax.process_index()}" if jax.process_count() > 1
+              else "")
     out_path = os.path.join(out_dir,
-                            f"{cfg.dataset.ds_type}_results.json")
+                            f"{cfg.dataset.ds_type}_results{suffix}.json")
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(results, f, indent=2)
     print(f"[test_depth] wrote {out_path}")

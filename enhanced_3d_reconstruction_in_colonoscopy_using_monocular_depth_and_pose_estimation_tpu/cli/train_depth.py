@@ -68,6 +68,14 @@ def main(argv: list[str] | None = None) -> None:
             or "JAX_COORDINATOR_ADDRESS" in os.environ):
         meshlib.init_distributed()
 
+    # Mesh shape / tensor parallelism are config knobs (the reference's
+    # only device knob is trainer.devices, configs/trainer/default.yaml:1;
+    # here the ('data','model') mesh is first-class).
+    mesh = meshlib.build_mesh(meshlib.MeshSpec(
+        data=int(cfg.trainer.get("mesh_data", -1)),
+        model=int(cfg.trainer.get("mesh_model", 1))))
+    tensor_parallel = bool(cfg.trainer.get("tensor_parallel", False))
+
     run_dir = cfglib.run_dir(cfg, cfg.run_dir_template)
     cfglib.snapshot(cfg, os.path.join(run_dir, ".hydra"))
 
@@ -104,6 +112,8 @@ def main(argv: list[str] | None = None) -> None:
         clip_norm=float(cfg.trainer.gradient_clip_val),
         policy=policy_from_precision(str(cfg.trainer.precision)),
         grad_checkpoint=bool(cfg.model.get("use_checkpoint", True)),
+        device_mesh=mesh,
+        tensor_parallel=tensor_parallel,
     )
 
     # Encoder bootstrap from the DAv2 metric checkpoint, when present

@@ -25,6 +25,7 @@ def main(argv: list[str] | None = None) -> None:
     from ..core import config as cfglib
     from ..core.logging import MetricLogger
     from ..data import PoseDataModule
+    from ..parallel import mesh as meshlib
     from ..train.loop import fit_pose
     from ..train.pose_task import PoseTask
     from ..utils.experiment import pose_experiment_id
@@ -46,6 +47,13 @@ def main(argv: list[str] | None = None) -> None:
     steps_per_epoch = max(1, len(datamodule.train_loader()))
     total_steps = steps_per_epoch * int(cfg.trainer.max_epochs)
 
+    if (bool(cfg.trainer.get("distributed", False))
+            or "JAX_COORDINATOR_ADDRESS" in os.environ):
+        meshlib.init_distributed()
+    mesh = meshlib.build_mesh(meshlib.MeshSpec(
+        data=int(cfg.trainer.get("mesh_data", -1)),
+        model=int(cfg.trainer.get("mesh_model", 1))))
+
     task = PoseTask(
         in_channels=int(cfg.model.in_channels),
         lr=float(cfg.model.lr),
@@ -55,6 +63,7 @@ def main(argv: list[str] | None = None) -> None:
         beta=float(cfg.model.beta),
         total_steps=total_steps,
         clip_norm=float(cfg.trainer.gradient_clip_val),
+        device_mesh=mesh,
     )
 
     logger = MetricLogger(run_dir, project="pose-estimation",

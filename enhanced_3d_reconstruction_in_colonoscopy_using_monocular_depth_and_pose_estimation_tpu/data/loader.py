@@ -32,11 +32,22 @@ def _collate(samples: list[dict[str, Any]]) -> dict[str, Any]:
 
 
 class PrefetchLoader:
-    """Iterable over batches of a map-style dataset."""
+    """Iterable over batches of a map-style dataset.
+
+    Multi-host: ``process_index``/``process_count`` (defaulting to
+    ``jax.process_index()``/``jax.process_count()`` at iteration time)
+    shard each GLOBAL batch across processes — every process walks the
+    same global batch order (same shuffle seed) and decodes only its
+    contiguous ``batch_size / process_count`` slice of each batch, which
+    ``parallel.mesh.shard_batch`` then assembles into one global array.
+    ``__len__`` and the epoch/step math stay process-independent.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, num_threads: int = 8,
-                 seed: int | None = None, prefetch: int = 4):
+                 seed: int | None = None, prefetch: int = 4,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -44,6 +55,8 @@ class PrefetchLoader:
         self.num_threads = max(1, num_threads)
         self.seed = seed
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -52,16 +65,32 @@ class PrefetchLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _process_shard(self) -> tuple[int, int]:
+        pi, pc = self.process_index, self.process_count
+        if pc is None:
+            import jax
+
+            pc = jax.process_count()
+            pi = jax.process_index() if pi is None else pi
+        return (pi or 0), max(1, pc)
+
     def _index_order(self) -> np.ndarray:
         n = len(self.dataset)
         if self.shuffle:
+            _, pc = self._process_shard()
+            seed = self.seed
+            if seed is None and pc > 1:
+                # All processes MUST agree on the global batch order; an
+                # OS-entropy shuffle would silently de-synchronize them.
+                seed = 0
             rng = np.random.default_rng(
-                None if self.seed is None else self.seed + self._epoch)
+                None if seed is None else seed + self._epoch)
             return rng.permutation(n)
         return np.arange(n)
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
         order = self._index_order()
+        pi, pc = self._process_shard()
         self._epoch += 1
         n_batches = len(self)
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -85,8 +114,16 @@ class PrefetchLoader:
                     def submit(b: int):
                         idxs = order[b * self.batch_size:
                                      (b + 1) * self.batch_size]
-                        return [pool.submit(self.dataset.__getitem__, int(i))
-                                for i in idxs]
+                        sharded = pc > 1 and len(idxs) % pc == 0
+                        if sharded:
+                            # This process's contiguous slice of the
+                            # global batch (matches the row->device order
+                            # of shard_batch's global assembly).
+                            per = len(idxs) // pc
+                            idxs = idxs[pi * per:(pi + 1) * per]
+                        return sharded, [
+                            pool.submit(self.dataset.__getitem__, int(i))
+                            for i in idxs]
 
                     # Sliding window: decode a few batches ahead, never the
                     # whole epoch.
@@ -99,9 +136,15 @@ class PrefetchLoader:
                     while window:
                         if stop.is_set():
                             return
-                        futs = window.pop(0)
+                        sharded, futs = window.pop(0)
                         samples = [f.result() for f in futs]
-                        if not safe_put(_collate(samples)):
+                        batch = _collate(samples)
+                        if pc > 1 and not sharded:
+                            # Trailing batch not divisible by the process
+                            # count: every process decoded ALL rows, so the
+                            # consumer must replicate it, not assemble it.
+                            batch["_replicated"] = True
+                        if not safe_put(batch):
                             return
                         if next_b < n_batches:
                             window.append(submit(next_b))

@@ -172,11 +172,16 @@ class PoseDataModule:
                               num_threads=self.num_workers, seed=self.seed)
 
     def val_loader(self) -> PrefetchLoader:
+        # Every process walks the FULL val/test sequence: trajectory
+        # composition (evaluate_trajectory) needs contiguous frame order,
+        # which process-interleaved batches would break.
         return PrefetchLoader(self.val_dataset, self.batch_size,
                               shuffle=False, drop_last=False,
-                              num_threads=self.num_workers)
+                              num_threads=self.num_workers,
+                              process_count=1)
 
     def test_loader(self) -> PrefetchLoader:
         return PrefetchLoader(self.test_dataset, self.batch_size,
                               shuffle=False, drop_last=False,
-                              num_threads=self.num_workers)
+                              num_threads=self.num_workers,
+                              process_count=1)

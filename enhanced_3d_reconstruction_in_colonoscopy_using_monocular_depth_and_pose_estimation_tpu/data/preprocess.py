@@ -116,7 +116,11 @@ class DevicePreprocessor:
 
         out = {"image": img, "depth": dep}
         if "source" in batch and max_depths is not None:
-            source = jnp.asarray(np.asarray(batch["source"]))
+            src = batch["source"]
+            # No np.asarray on jax arrays: a global (multi-host) batch leaf
+            # is not fully addressable and must stay on device.
+            source = src if isinstance(src, jax.Array) else \
+                jnp.asarray(np.asarray(src))
             scale = jnp.where(source == 1, 0.1, 1.0).astype(jnp.float32)
             out["depth"] = dep * scale[:, None, None, None]
             out["max_depth"] = jnp.where(

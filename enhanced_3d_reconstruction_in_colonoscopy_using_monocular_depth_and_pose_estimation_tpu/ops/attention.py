@@ -16,12 +16,22 @@ import jax.numpy as jnp
 Array = jax.Array
 
 _FORCE_XLA = False
+_FORCE_FUSED = False
 
 
 def set_force_xla(value: bool) -> None:
     """Test hook: force the XLA path even on TPU."""
     global _FORCE_XLA
     _FORCE_XLA = value
+
+
+def set_force_fused(value: bool) -> None:
+    """Test hook: force the fused-projection Pallas path off-TPU (the
+    kernel runs in interpret mode there), so the exact graph executed on
+    hardware — including the ``models/dinov2.py`` fused-branch wiring —
+    is covered by CPU tests."""
+    global _FORCE_FUSED
+    _FORCE_FUSED = value
 
 
 def _on_tpu() -> bool:
@@ -56,6 +66,8 @@ def multi_head_attention(q: Array, k: Array, v: Array) -> Array:
 def use_fused_qkv() -> bool:
     """Whether the encoder should take the fused-layout projection path
     (project q/k^T/v straight into the Pallas kernel's layouts)."""
+    if _FORCE_FUSED:
+        return True
     return not _FORCE_XLA and _on_tpu()
 
 

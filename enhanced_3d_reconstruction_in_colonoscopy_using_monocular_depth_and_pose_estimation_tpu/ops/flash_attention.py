@@ -395,7 +395,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale: float, n_valid: int, hb: int):
+                    dk_ref, dv_ref, *, scale: float, n_valid: int, hb: int,
+                    np_: int):
+    # Absolute key-row offset of this block (grid dim 1 walks key blocks).
+    k0 = pl.program_id(1) * k_ref.shape[1]
     for h in range(hb):
         q = q_ref[h]                                        # (Np, D)
         k = k_ref[h]                                        # (BK, D)
@@ -410,6 +413,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             pt = jnp.where(col < n_valid, jnp.exp(st - lse), 0.0)
         else:
             pt = jnp.exp(st - lse)
+        if n_valid < np_:
+            # Padded KEY rows: the forward masked their scores to -inf
+            # (zero probability), so their dk/dv must be exactly zero.
+            # Without this, grads leak into the caller's padded k/v —
+            # harmless for the slicing wrapper, WRONG for the fused path
+            # whose qkv bias is broadcast over padded rows.
+            row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + k0
+            pt = jnp.where(row < n_valid, pt, 0.0)
         dv = jnp.dot(pt.astype(do.dtype), do,
                      preferred_element_type=jnp.float32)
         dpt = jnp.dot(v, do.T, preferred_element_type=jnp.float32)
@@ -456,7 +467,7 @@ def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, n_valid=n_valid,
-                          hb=hb),
+                          hb=hb, np_=np_),
         grid=grid,
         in_specs=[full, blk, blk, full, vec_full, vec_full],
         out_specs=[blk, blk],

@@ -76,6 +76,73 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_batch(mesh: Mesh, tree: Any, axis: str = DATA_AXIS,
+                leading_stack: bool = False,
+                force_replicated: bool = False) -> Any:
+    """Assemble a loader batch into GLOBAL arrays sharded over ``axis``.
+
+    The one entry point for feeding data to jitted steps, identical for 1
+    and N processes (the reference inherits Lightning's single-device
+    placement; SURVEY.md section 2c promises DP that spans hosts):
+
+    - single process: ``jax.device_put`` with a ``NamedSharding`` — batch
+      rows spread over the data axis, everything else replicated;
+    - multi-process: each process passes its LOCAL rows (``1/process_count``
+      of the global batch, see ``PrefetchLoader`` process sharding) and
+      ``jax.make_array_from_process_local_data`` assembles the global
+      array, so jitted steps see one logical batch and XLA's collectives
+      handle every cross-host reduction.
+
+    Leaves whose leading dim doesn't divide the data axis (or 0-d/aux
+    leaves) are replicated. With ``leading_stack=True`` dim 0 is a
+    grad-accum stack and dim 1 is the batch dim (spec ``P(None, axis)``).
+    Non-array leaves (string lists) pass through untouched.
+    """
+    nproc = jax.process_count()
+    nshard = mesh.shape[axis]
+
+    def put(x):
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            return x
+        bdim = 1 if leading_stack else 0
+        global_rows = x.shape[bdim] * nproc if x.ndim > bdim else 0
+        if (not force_replicated and x.ndim > bdim
+                and global_rows % nshard == 0 and global_rows > 0):
+            spec = P(*([None] * bdim), axis)
+        else:
+            spec = P()
+        sharding = NamedSharding(mesh, spec)
+        if isinstance(x, jax.Array):
+            return jax.device_put(x, sharding)
+        if nproc == 1:
+            return jax.device_put(x, sharding)
+        if spec == P():
+            # Replicated leaf: every process holds the full (identical)
+            # array.
+            return jax.make_array_from_process_local_data(
+                sharding, x, x.shape)
+        global_shape = (x.shape[:bdim] + (global_rows,)
+                        + x.shape[bdim + 1:])
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape)
+
+    return jax.tree.map(put, tree)
+
+
+def local_rows(arr: jax.Array) -> np.ndarray:
+    """Host copy of this process's rows of a batch-dim-sharded array.
+
+    Fully-addressable arrays (single process) return the whole array.
+    Multi-process: concatenates the addressable shards in global row
+    order, i.e. exactly the rows this process's loader contributed — used
+    by the per-sample test collector to key metrics to local sample ids.
+    """
+    if arr.is_fully_addressable:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 # Tensor-parallel rules for ViT parameters, matched against the flattened
 # parameter path ("/"-joined). Column-parallel on qkv/fc1, row-parallel on
 # proj/fc2 — the classic Megatron split, expressed purely as shardings so

@@ -53,6 +53,16 @@ def _lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
                 ctypes.POINTER(ctypes.c_int64)]
             lib.e3d_marching_tetrahedra.restype = ctypes.c_int
+            lib.e3d_marching_tetrahedra_cells.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_float,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_float,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.e3d_marching_tetrahedra_cells.restype = ctypes.c_int
             lib.e3d_free.argtypes = [ctypes.c_void_p]
             lib.e3d_free.restype = None
             _LIB = lib
@@ -103,6 +113,48 @@ def marching_tetrahedra(field: np.ndarray, iso: float,
         ctypes.byref(tris_p), ctypes.byref(n_tris))
     if rc != 0:
         raise MemoryError("marching_tetrahedra allocation failed")
+    try:
+        verts = np.ctypeslib.as_array(verts_p,
+                                      (n_verts.value, 3)).copy() \
+            if n_verts.value else np.zeros((0, 3), np.float32)
+        tris = np.ctypeslib.as_array(tris_p,
+                                     (n_tris.value, 3)).copy() \
+            if n_tris.value else np.zeros((0, 3), np.int32)
+    finally:
+        _lib().e3d_free(ctypes.cast(verts_p, ctypes.c_void_p))
+        _lib().e3d_free(ctypes.cast(tris_p, ctypes.c_void_p))
+    return verts, tris
+
+
+def marching_tetrahedra_cells(cell_ids: np.ndarray,
+                              corner_vals: np.ndarray,
+                              grid_shape: tuple[int, int, int], iso: float,
+                              origin: np.ndarray, spacing: float
+                              ) -> tuple[np.ndarray, np.ndarray]:
+    """Sparse isosurface over active cells only.
+
+    cell_ids: (K,) int32 flat corner-grid ids of each cell's (0,0,0)
+    corner; corner_vals: (K, 8) f32 in the cube-corner order of the dense
+    mesher. Produces the same welded mesh as the dense path restricted to
+    those cells.
+    """
+    _, ny, nz = grid_shape
+    cell_ids = np.ascontiguousarray(cell_ids, np.int32)
+    corner_vals = np.ascontiguousarray(corner_vals, np.float32)
+    assert corner_vals.shape == (len(cell_ids), 8)
+    origin = np.ascontiguousarray(origin, np.float32)
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    tris_p = ctypes.POINTER(ctypes.c_int32)()
+    n_verts = ctypes.c_int64()
+    n_tris = ctypes.c_int64()
+    rc = _lib().e3d_marching_tetrahedra_cells(
+        cell_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _fptr(corner_vals), len(cell_ids), ny, nz, float(iso),
+        _fptr(origin), float(spacing),
+        ctypes.byref(verts_p), ctypes.byref(n_verts),
+        ctypes.byref(tris_p), ctypes.byref(n_tris))
+    if rc != 0:
+        raise MemoryError("marching_tetrahedra_cells allocation failed")
     try:
         verts = np.ctypeslib.as_array(verts_p,
                                       (n_verts.value, 3)).copy() \

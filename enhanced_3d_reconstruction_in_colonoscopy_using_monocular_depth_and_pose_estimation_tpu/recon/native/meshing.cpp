@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <numeric>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -203,6 +204,9 @@ namespace mt {
 struct Mesh {
   std::vector<float> verts;
   std::vector<int32_t> tris;
+  // Per-vertex edge key (parallel to verts/3): lets x-chunked worker
+  // meshes be welded globally in the merge pass.
+  std::vector<uint64_t> keys;
   // Weld vertices: one shared vertex per grid edge (keyed by the two
   // global corner ids).
   std::unordered_map<uint64_t, int32_t> edge_cache;
@@ -227,6 +231,7 @@ int32_t edge_vertex(Mesh& mesh, const float* fa, const float* fb,
   mesh.verts.push_back(fa[0] + t * (fb[0] - fa[0]));
   mesh.verts.push_back(fa[1] + t * (fb[1] - fa[1]));
   mesh.verts.push_back(fa[2] + t * (fb[2] - fa[2]));
+  mesh.keys.push_back(key);
   int32_t idx = static_cast<int32_t>(mesh.verts.size() / 3 - 1);
   mesh.edge_cache.emplace(key, idx);
   return idx;
@@ -283,76 +288,191 @@ void do_tet(Mesh& mesh, const float p[4][3], const float v[4],
   }
 }
 
-}  // namespace mt
+// 6-tetrahedra decomposition of the cube (consistent diagonal 0-6).
+static const int kTets[6][4] = {
+    {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
+    {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
+// cube corner offsets (x, y, z)
+static const int kCorner[8][3] = {
+    {0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
+    {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1}};
 
-// Marching tetrahedra over a (nx, ny, nz) scalar field (z fastest).
-// origin/spacing map grid indices to world coordinates.
-// Returns 0 on success; outputs are malloc'd — free with e3d_free.
-int e3d_marching_tetrahedra(const float* field, int nx, int ny, int nz,
-                            float iso, const float* origin, float spacing,
-                            float** out_verts, int64_t* out_n_verts,
-                            int32_t** out_tris, int64_t* out_n_tris) {
-  mt::Mesh mesh;
-  // 6-tetrahedra decomposition of the cube (consistent diagonal 0-6).
-  static const int tets[6][4] = {
-      {0, 5, 1, 6}, {0, 1, 2, 6}, {0, 2, 3, 6},
-      {0, 3, 7, 6}, {0, 7, 4, 6}, {0, 4, 5, 6}};
-  // cube corner offsets (x, y, z)
-  static const int corner[8][3] = {
-      {0, 0, 0}, {1, 0, 0}, {1, 1, 0}, {0, 1, 0},
-      {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1}};
+// Mesh every tetrahedron of the cell at (ix, iy, iz) given its 8 corner
+// values (kCorner order).
+void do_cell_values(Mesh& mesh, const float cv[8], int ix, int iy, int iz,
+                    int ny, int nz, float iso, const float* origin,
+                    float spacing) {
+  float cp[8][3];
+  int64_t cg[8];
+  bool any_lo = false, any_hi = false;
+  for (int c = 0; c < 8; ++c) {
+    int jx = ix + kCorner[c][0], jy = iy + kCorner[c][1],
+        jz = iz + kCorner[c][2];
+    cg[c] = gid(jx, jy, jz, ny, nz);
+    (cv[c] < iso ? any_lo : any_hi) = true;
+    cp[c][0] = origin[0] + spacing * jx;
+    cp[c][1] = origin[1] + spacing * jy;
+    cp[c][2] = origin[2] + spacing * jz;
+  }
+  if (!any_lo || !any_hi) return;
+  for (const auto& tet : kTets) {
+    float p[4][3], v[4];
+    int64_t g[4];
+    for (int i = 0; i < 4; ++i) {
+      std::memcpy(p[i], cp[tet[i]], sizeof(float) * 3);
+      v[i] = cv[tet[i]];
+      g[i] = cg[tet[i]];
+    }
+    do_tet(mesh, p, v, g, iso);
+  }
+}
 
-  for (int ix = 0; ix + 1 < nx; ++ix) {
-    for (int iy = 0; iy + 1 < ny; ++iy) {
-      for (int iz = 0; iz + 1 < nz; ++iz) {
-        float cv[8];
-        float cp[8][3];
-        int64_t cg[8];
-        bool any_lo = false, any_hi = false;
-        for (int c = 0; c < 8; ++c) {
-          int jx = ix + corner[c][0], jy = iy + corner[c][1],
-              jz = iz + corner[c][2];
-          cg[c] = mt::gid(jx, jy, jz, ny, nz);
-          cv[c] = field[cg[c]];
-          (cv[c] < iso ? any_lo : any_hi) = true;
-          cp[c][0] = origin[0] + spacing * jx;
-          cp[c][1] = origin[1] + spacing * jy;
-          cp[c][2] = origin[2] + spacing * jz;
-        }
-        if (!any_lo || !any_hi) continue;
-        for (const auto& tet : tets) {
-          float p[4][3], v[4];
-          int64_t g[4];
-          for (int i = 0; i < 4; ++i) {
-            std::memcpy(p[i], cp[tet[i]], sizeof(float) * 3);
-            v[i] = cv[tet[i]];
-            g[i] = cg[tet[i]];
-          }
-          mt::do_tet(mesh, p, v, g, iso);
-        }
+// Mesh every tetrahedron of the cell at (ix, iy, iz) into `mesh`.
+void do_cell(Mesh& mesh, const float* field, int ix, int iy, int iz,
+             int ny, int nz, float iso, const float* origin,
+             float spacing) {
+  float cv[8];
+  for (int c = 0; c < 8; ++c)
+    cv[c] = field[gid(ix + kCorner[c][0], iy + kCorner[c][1],
+                      iz + kCorner[c][2], ny, nz)];
+  do_cell_values(mesh, cv, ix, iy, iz, ny, nz, iso, origin, spacing);
+}
+
+int num_threads() {
+  if (const char* env = std::getenv("E3D_MESH_THREADS")) {
+    int t = std::atoi(env);
+    if (t > 0) return std::min(t, 256);
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  return hw ? static_cast<int>(hw) : 4;
+}
+
+// Weld per-worker meshes into one (edge keys are global, so identical
+// boundary vertices produced by adjacent chunks deduplicate exactly),
+// then export to malloc'd buffers. Returns 0 on success.
+int merge_and_export(std::vector<Mesh>& chunks, float** out_verts,
+                     int64_t* out_n_verts, int32_t** out_tris,
+                     int64_t* out_n_tris) {
+  size_t vtotal = 0, ttotal = 0;
+  for (const auto& m : chunks) {
+    vtotal += m.keys.size();
+    ttotal += m.tris.size();
+  }
+  std::vector<float> verts;
+  verts.reserve(vtotal * 3);
+  std::vector<int32_t> tris;
+  tris.reserve(ttotal);
+  std::unordered_map<uint64_t, int32_t> global_ids;
+  global_ids.reserve(vtotal * 2);
+  std::vector<int32_t> remap;
+  for (auto& m : chunks) {
+    remap.assign(m.keys.size(), 0);
+    for (size_t i = 0; i < m.keys.size(); ++i) {
+      auto it = global_ids.find(m.keys[i]);
+      if (it != global_ids.end()) {
+        remap[i] = it->second;
+      } else {
+        int32_t idx = static_cast<int32_t>(verts.size() / 3);
+        verts.push_back(m.verts[3 * i]);
+        verts.push_back(m.verts[3 * i + 1]);
+        verts.push_back(m.verts[3 * i + 2]);
+        global_ids.emplace(m.keys[i], idx);
+        remap[i] = idx;
       }
     }
+    for (int32_t t : m.tris) tris.push_back(remap[t]);
+    Mesh().verts.swap(m.verts);  // free as we go
   }
 
-  *out_n_verts = static_cast<int64_t>(mesh.verts.size() / 3);
-  *out_n_tris = static_cast<int64_t>(mesh.tris.size() / 3);
-  *out_verts = static_cast<float*>(std::malloc(mesh.verts.size() *
+  *out_n_verts = static_cast<int64_t>(verts.size() / 3);
+  *out_n_tris = static_cast<int64_t>(tris.size() / 3);
+  *out_verts = static_cast<float*>(std::malloc(verts.size() *
                                                sizeof(float)));
-  *out_tris = static_cast<int32_t*>(std::malloc(mesh.tris.size() *
+  *out_tris = static_cast<int32_t*>(std::malloc(tris.size() *
                                                 sizeof(int32_t)));
-  if ((!*out_verts && !mesh.verts.empty()) ||
-      (!*out_tris && !mesh.tris.empty())) {
+  if ((!*out_verts && !verts.empty()) || (!*out_tris && !tris.empty())) {
     std::free(*out_verts);
     std::free(*out_tris);
     *out_verts = nullptr;
     *out_tris = nullptr;
     return 1;
   }
-  std::memcpy(*out_verts, mesh.verts.data(),
-              mesh.verts.size() * sizeof(float));
-  std::memcpy(*out_tris, mesh.tris.data(),
-              mesh.tris.size() * sizeof(int32_t));
+  std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
+  std::memcpy(*out_tris, tris.data(), tris.size() * sizeof(int32_t));
   return 0;
+}
+
+}  // namespace mt
+
+// Marching tetrahedra over a (nx, ny, nz) scalar field (z fastest).
+// origin/spacing map grid indices to world coordinates. Work is chunked
+// over x across threads; chunk meshes weld back together exactly because
+// vertices are keyed by global grid-edge ids.
+// Returns 0 on success; outputs are malloc'd — free with e3d_free.
+int e3d_marching_tetrahedra(const float* field, int nx, int ny, int nz,
+                            float iso, const float* origin, float spacing,
+                            float** out_verts, int64_t* out_n_verts,
+                            int32_t** out_tris, int64_t* out_n_tris) {
+  int ncells_x = nx - 1;
+  int nthreads = std::max(1, std::min(mt::num_threads(), ncells_x));
+  std::vector<mt::Mesh> chunks(nthreads);
+  std::vector<std::thread> workers;
+  workers.reserve(nthreads);
+  for (int t = 0; t < nthreads; ++t) {
+    int x0 = static_cast<int>(static_cast<int64_t>(ncells_x) * t
+                              / nthreads);
+    int x1 = static_cast<int>(static_cast<int64_t>(ncells_x) * (t + 1)
+                              / nthreads);
+    workers.emplace_back([&, t, x0, x1]() {
+      mt::Mesh& mesh = chunks[t];
+      for (int ix = x0; ix < x1; ++ix)
+        for (int iy = 0; iy + 1 < ny; ++iy)
+          for (int iz = 0; iz + 1 < nz; ++iz)
+            mt::do_cell(mesh, field, ix, iy, iz, ny, nz, iso, origin,
+                        spacing);
+    });
+  }
+  for (auto& w : workers) w.join();
+  return mt::merge_and_export(chunks, out_verts, out_n_verts, out_tris,
+                              out_n_tris);
+}
+
+// Sparse marching tetrahedra: mesh only the given active cells.
+// cell_ids are flat CORNER-grid ids (ix*ny + iy)*nz + iz of each cell's
+// (0,0,0) corner; corner_vals is (k, 8) in kCorner order. The iso-straddle
+// mask is computed on the TPU and only straddling cells' values are read
+// back — the depth-9 path's 134M-cell walk and full-volume transfer both
+// collapse to the ~1% active shell.
+int e3d_marching_tetrahedra_cells(const int32_t* cell_ids,
+                                  const float* corner_vals, int64_t k,
+                                  int ny, int nz, float iso,
+                                  const float* origin, float spacing,
+                                  float** out_verts, int64_t* out_n_verts,
+                                  int32_t** out_tris,
+                                  int64_t* out_n_tris) {
+  int nthreads = static_cast<int>(
+      std::max<int64_t>(1, std::min<int64_t>(mt::num_threads(), k)));
+  std::vector<mt::Mesh> chunks(nthreads);
+  std::vector<std::thread> workers;
+  workers.reserve(nthreads);
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t i0 = k * t / nthreads;
+    int64_t i1 = k * (t + 1) / nthreads;
+    workers.emplace_back([&, t, i0, i1]() {
+      mt::Mesh& mesh = chunks[t];
+      for (int64_t i = i0; i < i1; ++i) {
+        int64_t id = cell_ids[i];
+        int iz = static_cast<int>(id % nz);
+        int iy = static_cast<int>((id / nz) % ny);
+        int ix = static_cast<int>(id / (static_cast<int64_t>(ny) * nz));
+        mt::do_cell_values(mesh, corner_vals + 8 * i, ix, iy, iz, ny, nz,
+                           iso, origin, spacing);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return mt::merge_and_export(chunks, out_verts, out_n_verts, out_tris,
+                              out_n_tris);
 }
 
 void e3d_free(void* ptr) { std::free(ptr); }

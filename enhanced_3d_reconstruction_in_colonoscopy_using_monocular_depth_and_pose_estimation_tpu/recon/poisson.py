@@ -100,6 +100,46 @@ def _solve_poisson(field: Array, grid: int,
     return _solve_poisson_from_div(div, grid, smooth_sigma)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _active_cell_bits(chi: Array, grid: int, iso: Array) -> Array:
+    """Per-cell iso-straddle mask, bit-packed along z.
+
+    A cell is active iff min(corners) < iso <= max(corners) — exactly the
+    dense mesher's any_lo/any_hi skip test. Returns
+    (grid-1, grid-1, ceil((grid-1)/8)) uint8, unpackable with
+    ``np.unpackbits`` (big-endian bit order).
+    """
+    cmin = jnp.minimum(chi[:-1], chi[1:])
+    cmax = jnp.maximum(chi[:-1], chi[1:])
+    cmin = jnp.minimum(cmin[:, :-1], cmin[:, 1:])
+    cmax = jnp.maximum(cmax[:, :-1], cmax[:, 1:])
+    cmin = jnp.minimum(cmin[..., :-1], cmin[..., 1:])
+    cmax = jnp.maximum(cmax[..., :-1], cmax[..., 1:])
+    active = (cmin < iso) & (cmax >= iso)
+    g1 = grid - 1
+    zpad = (-g1) % 8
+    active = jnp.pad(active, ((0, 0), (0, 0), (0, zpad)))
+    bits = active.reshape(g1, g1, -1, 8).astype(jnp.uint8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _gather_cell_corners(chi: Array, cell_ids: Array, grid: int,
+                         out_f16: bool) -> Array:
+    """(K,) flat corner-grid cell ids -> (K, 8) corner values (the dense
+    mesher's cube-corner order)."""
+    flat = chi.reshape(-1)
+    # kCorner order (meshing.cpp): offsets of (dx, dy, dz) at stride
+    # (grid^2, grid, 1).
+    corners = ((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+               (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1))
+    offs = jnp.asarray([(dx * grid + dy) * grid + dz
+                        for dx, dy, dz in corners], jnp.int32)
+    vals = flat[cell_ids[:, None] + offs[None, :]]
+    return vals.astype(jnp.float16) if out_f16 else vals
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _trilinear_gather(volume: Array, points01: Array, grid: int) -> Array:
     pos = points01 * (grid - 1)
@@ -128,7 +168,16 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
     density_percentile: prune vertices whose splat density is below this
     percentile (reference removes 5%).
     """
+    import time
+
     from .native import marching_tetrahedra
+
+    timing = os.environ.get("E3D_POISSON_TIMING", "0") == "1"
+    marks: list[tuple[str, float]] = []
+
+    def mark(name: str) -> None:
+        if timing:
+            marks.append((name, time.time()))
 
     points = np.asarray(points, np.float32)
     normals = np.asarray(normals, np.float32)
@@ -141,24 +190,58 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
     extent = extent * (1 + 2 * padding)
     points01 = (points - lo) / extent
 
+    mark("start")
     field, weight = _splat(jnp.asarray(points01), jnp.asarray(normals), grid)
     div = _divergence(field, grid)
     del field  # free 3x grid^3 HBM before the FFT allocates its spectra
     chi = _solve_poisson_from_div(div, grid, smooth_sigma)
     del div
     iso = float(jnp.mean(_trilinear_gather(chi, jnp.asarray(points01), grid)))
+    mark("device solve+iso")
 
-    # Tunnel-friendly readback: the indicator in f16 halves the host
-    # transfer (536 -> 268 MB at 512^3; large reads dominate the depth-9
-    # end-to-end time through the axon tunnel). Iso-crossing positions
-    # shift by O(f16 eps / cell gradient) — the exact-cylinder fixture's
-    # radius std is unchanged (tests/test_recon_geometric.py).
-    if os.environ.get("E3D_POISSON_READBACK", "f16") == "f16":
-        chi_np = np.asarray(np.asarray(chi.astype(jnp.float16)), np.float32)
-    else:
-        chi_np = np.asarray(chi)
+    f16 = os.environ.get("E3D_POISSON_READBACK", "f16") == "f16"
+    sparse_env = os.environ.get("E3D_POISSON_SPARSE", "auto")
+    use_sparse = sparse_env == "1" or (sparse_env == "auto" and grid >= 256)
     spacing = extent / (grid - 1)
-    verts, tris = marching_tetrahedra(chi_np, iso, lo, spacing)
+    if use_sparse:
+        # Sparse path: the indicator is ~99% iso-inactive at depth 9, so
+        # (1) a bit-packed per-cell straddle mask ((grid-1)^3 / 8 bytes,
+        # 16.6 MB at 512^3) and (2) the straddling cells' corner values
+        # (~1% of the volume) are all that crosses the tunnel — >5x less
+        # than the full 268 MB f16 volume — and the native mesher visits
+        # only those cells instead of all 134M.
+        from .native import marching_tetrahedra_cells
+
+        packed = np.asarray(_active_cell_bits(chi, grid, jnp.float32(iso)))
+        mark("active-mask readback")
+        act = np.unpackbits(packed, axis=-1)[:, :, :grid - 1]
+        ix, iy, iz = np.nonzero(act)
+        cell_ids = ((ix.astype(np.int64) * grid + iy) * grid
+                    + iz).astype(np.int32)
+        mark("host cell decode")
+        if len(cell_ids) == 0:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+        vals = np.asarray(
+            _gather_cell_corners(chi, jnp.asarray(cell_ids), grid, f16),
+            np.float32)
+        mark("corner-value readback")
+        verts, tris = marching_tetrahedra_cells(
+            cell_ids, vals, (grid, grid, grid), iso, lo, spacing)
+        mark("sparse marching tetrahedra")
+    else:
+        # Dense path (small grids / CPU): read the whole indicator back.
+        # f16 halves the transfer (536 -> 268 MB at 512^3); iso-crossing
+        # positions shift by O(f16 eps / cell gradient) — the
+        # exact-cylinder fixture's radius std is unchanged
+        # (tests/test_recon_geometric.py).
+        if f16:
+            chi_np = np.asarray(np.asarray(chi.astype(jnp.float16)),
+                                np.float32)
+        else:
+            chi_np = np.asarray(chi)
+        mark("indicator readback")
+        verts, tris = marching_tetrahedra(chi_np, iso, lo, spacing)
+        mark("marching tetrahedra")
     if len(verts) == 0:
         return verts, tris
 
@@ -172,4 +255,14 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
         tri_keep = keep[tris].all(axis=1)
         tris = remap[tris[tri_keep]].astype(np.int32)
         verts = verts[keep]
+    mark("density prune")
+    if timing:
+        import sys
+
+        t0 = marks[0][1]
+        prev = t0
+        for name, t in marks[1:]:
+            print(f"[poisson timing] {name}: {t - prev:.2f}s "
+                  f"(cum {t - t0:.2f}s)", file=sys.stderr, flush=True)
+            prev = t
     return verts, tris

@@ -183,14 +183,23 @@ class DepthTask:
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_and_metrics, has_aux=True)(
                         state.params, image, depth, maxd)
-                grads_acc = jax.tree.map(lambda a, g: a + g * wi,
-                                         grads_acc, grads)
+                grads_acc = jax.tree.map(
+                    lambda a, g: (a + g * wi).astype(a.dtype),
+                    grads_acc, grads)
                 met_acc = jax.tree.map(lambda a, m: a + m * wi,
                                        met_acc, metrics)
                 return (grads_acc, loss_acc + loss * wi, met_acc), None
 
+            # Grad-accumulator carry dtype: bf16 halves the 335M-param
+            # carry traffic of the scan (the weighted mean at the end and
+            # the optimizer stay f32). Sweep knob for the ~74 ms/step scan
+            # overhead; numerics: bf16 accumulation of <=4 microbatch
+            # grads costs ~1e-2 relative on the smallest grads.
+            acc_dtype = (jnp.bfloat16
+                         if os.environ.get("E3D_ACCUM_DTYPE") == "bf16"
+                         else jnp.float32)
             zero_grads = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+                lambda p: jnp.zeros(p.shape, acc_dtype), state.params)
             zero_mets = {k: jnp.zeros((), jnp.float32)
                          for k in ("d1", "abs_rel", "rmse", "l1")}
             maxd = batch.get(

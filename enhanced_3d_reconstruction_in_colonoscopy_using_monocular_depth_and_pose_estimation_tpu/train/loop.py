@@ -23,7 +23,29 @@ from ..core.debug import StepTimer
 from ..core.logging import MetricLogger
 from ..core.metrics import MetricBank
 from ..data.preprocess import DevicePreprocessor
+from ..parallel import mesh as meshlib
 from .depth_task import DepthTask, DepthTrainState
+
+
+def _make_group_stacker(mesh):
+    """Jitted stack of ``accum`` prepped microbatches into one (A, B, ...)
+    batch with an explicit output sharding: batch dim over ``data`` when it
+    divides the axis, replicated otherwise. One compiled program per
+    (shape, sharded) pair — built once per fit."""
+    import jax.numpy as jnp_
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stack_sh = jax.jit(
+        lambda *xs: jnp_.stack(xs),
+        out_shardings=NamedSharding(mesh, P(None, meshlib.DATA_AXIS)))
+    stack_re = jax.jit(lambda *xs: jnp_.stack(xs),
+                       out_shardings=meshlib.replicated_sharding(mesh))
+
+    def stack(prepped: list[dict], key: str, sharded: bool):
+        fn = stack_sh if sharded else stack_re
+        return fn(*[p[key] for p in prepped])
+
+    return stack
 
 
 def _group_accum(loader: Iterable[dict], accum: int):
@@ -87,6 +109,7 @@ def fit_depth(
     steps_per_epoch = max(1, -(-len(train_loader) // accum))
     val_every = max(1, int(steps_per_epoch * val_check_interval))
     combined = max_depths is not None
+    stacker = _make_group_stacker(task.mesh)
 
     # Running epoch means of the train metrics (torchmetrics MeanMetric
     # semantics, reference lightning_model.py:145-152) — the bank lives on
@@ -102,10 +125,25 @@ def fit_depth(
         t_epoch = time.time()
         for group in _group_accum(iter(train_loader), accum):
             n_real = len(group)
+            # Any microbatch the loader could not process-shard (trailing
+            # batch not divisible by process_count) forces the whole accum
+            # group onto the replicated path.
+            replicated = any(bool(b.pop("_replicated", False))
+                             for b in group)
             if n_real < accum:
                 # Trailing partial group: pad to static shape (no
                 # recompile), mask padding with zero weights below.
                 group = group + [group[-1]] * (accum - n_real)
+            # Global-array assembly: identical code path for 1 and N
+            # processes (each process contributed its local rows; see
+            # PrefetchLoader + parallel.mesh.shard_batch).
+            group = [meshlib.shard_batch(task.mesh, b,
+                                         force_replicated=replicated)
+                     for b in group]
+            mb_global = group[0]["image"].shape[0]
+            sharded = (not replicated
+                       and mb_global % task.mesh.shape[meshlib.DATA_AXIS]
+                       == 0)
             rng, prep_rng = jax.random.split(rng)
             prepped = [
                 pre(b, train=True,
@@ -114,14 +152,13 @@ def fit_depth(
                 for i, b in enumerate(group)
             ]
             batch = {
-                k: jnp.stack([p[k] for p in prepped])
+                k: stacker(prepped, k, sharded)
                 for k in ("image", "depth")
             }
             batch["weight"] = jnp.asarray(
                 [1.0] * n_real + [0.0] * (accum - n_real), jnp.float32)
             if combined:
-                batch["max_depth"] = jnp.stack(
-                    [p["max_depth"] for p in prepped])
+                batch["max_depth"] = stacker(prepped, "max_depth", sharded)
             with timer.step():
                 state, metrics = task.train_step(state, batch)
                 bank = bank_update(bank, metrics)  # device-side, no sync
@@ -184,6 +221,9 @@ def evaluate_depth(task: DepthTask, params, loader, pre: DevicePreprocessor,
     src_sums: dict[str, float] = {}
     src_weight: dict[str, float] = {}
     for batch in loader:
+        replicated = bool(batch.pop("_replicated", False))
+        batch = meshlib.shard_batch(task.mesh, batch,
+                                    force_replicated=replicated)
         prepped = pre(batch, train=False, max_depths=max_depths)
         if "source" in prepped:
             # One forward yields overall + per-source metrics.
@@ -255,8 +295,10 @@ def fit_pose(
             break
         bank = MetricBank.zeros(pose_keys)
         for batch in datamodule.train_loader():
-            jbatch = {"input": jnp.asarray(batch["input"]),
-                      "target": jnp.asarray(batch["target"])}
+            jbatch = meshlib.shard_batch(
+                task.mesh,
+                {"input": batch["input"], "target": batch["target"]},
+                force_replicated=bool(batch.pop("_replicated", False)))
             state, metrics = task.train_step(state, jbatch)
             bank = bank_update(bank, metrics)
             step = host_step = host_step + 1

@@ -146,3 +146,31 @@ def test_train_depth_profile_and_nan_flags(simcol_root, tmp_path,
              (exp_dir / "metrics.jsonl").read_text().splitlines()]
     assert any("Train/epoch_loss" in rec for rec in lines), \
         "epoch running means not logged"
+
+
+def test_train_depth_cli_tp2_mesh(simcol_root, tmp_path, monkeypatch):
+    """TP is reachable from the CLI (VERDICT r2 next #1): a (data=4,
+    model=2) mesh with tensor_parallel=true trains for 2 steps on the
+    8-device mesh and writes finite metrics."""
+    from e3d_tpu.cli import train_depth
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("E3D_CONFIG_ROOT", CONFIG_ROOT)
+    train_depth.main(_dataset_overrides(simcol_root) + [
+        "dataset.batch_size=4",
+        "model.encoder=vitt",
+        "model.use_checkpoint=false",
+        "trainer.max_epochs=1",
+        "trainer.accumulate_grad_batches=1",
+        "trainer.precision=32-true",
+        "trainer.mesh_data=4",
+        "trainer.mesh_model=2",
+        "trainer.tensor_parallel=true",
+        "++trainer.max_steps=2",
+    ])
+    exp_dirs = list((tmp_path / "configs" / "experiments" / "simcol")
+                    .iterdir())
+    lines = [json.loads(line) for line in
+             (exp_dirs[0] / "metrics.jsonl").read_text().splitlines()]
+    losses = [rec["train_loss"] for rec in lines if "train_loss" in rec]
+    assert losses and all(np.isfinite(v) for v in losses)

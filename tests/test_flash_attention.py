@@ -102,3 +102,41 @@ def test_fused_qkv_path_gradients(rng):
     for a, e, name in zip(g_fused, g_ref, ("x", "w_qkv", "w_proj")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4,
                                    err_msg=f"d{name}")
+
+
+def test_model_level_fused_path_parity(rng):
+    """Whole-model coverage of the TPU-executed fused projection wiring
+    (models/dinov2.py Attention fused branch): a vitt forward + gradient
+    with qkv_self_attention FORCED (Pallas interpret mode) must match the
+    XLA branch to <=1e-3 (VERDICT r2 next #6)."""
+    from e3d_tpu.models import build_depth_model
+    from e3d_tpu.ops import attention as attn_ops
+
+    model = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32,
+                              grad_checkpoint=False)
+    image = jnp.asarray(rng.normal(size=(1, 56, 56, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.5, 19.0, size=(1, 56, 56))
+                        .astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), image)["params"]
+
+    def loss_fn(p):
+        pred = model.apply({"params": p}, image)
+        return jnp.mean((pred - depth) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        loss_xla, grads_xla = jax.value_and_grad(loss_fn)(params)
+        attn_ops.set_force_fused(True)
+        try:
+            loss_fused, grads_fused = jax.value_and_grad(loss_fn)(params)
+        finally:
+            attn_ops.set_force_fused(False)
+
+    np.testing.assert_allclose(float(loss_fused), float(loss_xla),
+                               rtol=1e-3)
+    flat_x, _ = jax.tree_util.tree_flatten_with_path(grads_xla)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(grads_fused)
+    for (path, gx), (_, gf) in zip(flat_x, flat_f):
+        scale = max(float(jnp.max(jnp.abs(gx))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=1e-3 * scale,
+            err_msg=jax.tree_util.keystr(path))

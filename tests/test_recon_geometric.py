@@ -77,3 +77,35 @@ def test_cylinder_fusion_and_mesh():
     assert zmid.sum() > 100
     mesh_radii = np.linalg.norm(verts[zmid][:, :2], axis=1)
     assert abs(np.median(mesh_radii) - R_CYL) < 0.12, np.median(mesh_radii)
+
+
+def test_sparse_marching_matches_dense(monkeypatch):
+    """The sparse active-cell path (device straddle mask + per-cell corner
+    gather + native sparse mesher) must produce the same welded mesh as
+    the dense full-volume path."""
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(20000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    points = v.astype(np.float32)
+    normals = v.astype(np.float32)
+
+    monkeypatch.setenv("E3D_MESH_THREADS", "1")
+    monkeypatch.setenv("E3D_POISSON_READBACK", "f32")
+    monkeypatch.setenv("E3D_POISSON_SPARSE", "0")
+    vd, td = poisson_mesh(points, normals, grid_depth=6)
+    monkeypatch.setenv("E3D_POISSON_SPARSE", "1")
+    vs, ts = poisson_mesh(points, normals, grid_depth=6)
+
+    # Single-threaded, both paths walk cells in the same lexicographic
+    # order -> bitwise-identical welded output.
+    np.testing.assert_array_equal(vs, vd)
+    np.testing.assert_array_equal(ts, td)
+    assert len(vd) > 1000
+
+    # Multi-threaded sparse run: same geometry modulo vertex order.
+    monkeypatch.setenv("E3D_MESH_THREADS", "4")
+    vt, tt = poisson_mesh(points, normals, grid_depth=6)
+    assert len(vt) == len(vd) and len(tt) == len(td)
+    order_d = np.lexsort(vd.T)
+    order_t = np.lexsort(vt.T)
+    np.testing.assert_allclose(vt[order_t], vd[order_d], atol=1e-6)
