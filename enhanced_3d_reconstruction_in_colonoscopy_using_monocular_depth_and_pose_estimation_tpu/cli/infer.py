@@ -84,6 +84,9 @@ def output_paths(args, filename: str) -> tuple[Path, str]:
 
 
 def main(argv=None) -> None:
+    from ..core.debug import enable_compilation_cache
+
+    enable_compilation_cache()
     import cv2
 
     from ..media.colormap import colorize_depth, side_by_side

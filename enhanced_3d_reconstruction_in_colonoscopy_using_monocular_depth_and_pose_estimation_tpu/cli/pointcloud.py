@@ -67,6 +67,9 @@ def frame_index(rgb_path: str) -> int:
 
 
 def main(argv=None) -> None:
+    from ..core.debug import enable_compilation_cache
+
+    enable_compilation_cache()
     import cv2
     import jax.numpy as jnp
 

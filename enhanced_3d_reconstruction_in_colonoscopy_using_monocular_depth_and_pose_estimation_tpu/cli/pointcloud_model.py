@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main(argv=None) -> None:
+    from ..core.debug import enable_compilation_cache
+
+    enable_compilation_cache()
     import cv2
     import jax.numpy as jnp
 

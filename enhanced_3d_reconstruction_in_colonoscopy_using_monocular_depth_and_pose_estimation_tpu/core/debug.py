@@ -82,3 +82,28 @@ def device_memory_stats() -> dict[str, dict[str, float]]:
         except Exception:
             out[str(dev)] = {}
     return out
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache (opt-out: E3D_COMPILE_CACHE=0).
+
+    Compiles through the axon TPU tunnel cost tens of seconds to minutes;
+    with the cache, repeat runs of the CLIs (inference, reconstruction)
+    skip them. Safe to call multiple times; silently ignored when the
+    backend doesn't support serialization.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("E3D_COMPILE_CACHE", "1") == "0":
+        return
+    path = path or os.environ.get(
+        "E3D_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "e3d_jax_cache"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax / RO filesystem
+        pass

@@ -140,6 +140,24 @@ def _gather_cell_corners(chi: Array, cell_ids: Array, grid: int,
     return vals.astype(jnp.float16) if out_f16 else vals
 
 
+def _bucket(n: int, floor: int = 1 << 18) -> int:
+    """Round up to a power of two (>= floor): keeps the data-dependent
+    gather/readback shapes in a small static set so XLA compiles each
+    program ONCE per bucket instead of once per reconstruction (compiles
+    through the axon tunnel cost tens of seconds; see perf/poisson9*)."""
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _pad_rows(x: np.ndarray, n: int, fill=0) -> np.ndarray:
+    if len(x) == n:
+        return x
+    pad = np.full((n - len(x),) + x.shape[1:], fill, x.dtype)
+    return np.concatenate([x, pad])
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _trilinear_gather(volume: Array, points01: Array, grid: int) -> Array:
     pos = points01 * (grid - 1)
@@ -155,6 +173,16 @@ def _trilinear_gather(volume: Array, points01: Array, grid: int) -> Array:
                 out = out + w * volume[base[:, 0] + dx, base[:, 1] + dy,
                                        base[:, 2] + dz]
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _masked_mean_gather(volume: Array, points01: Array, grid: int,
+                        n_valid: Array) -> Array:
+    """Mean gathered value over the first ``n_valid`` (bucket-padded)
+    points."""
+    vals = _trilinear_gather(volume, points01, grid)
+    w = (jnp.arange(points01.shape[0]) < n_valid).astype(jnp.float32)
+    return jnp.sum(vals * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def poisson_mesh(points: np.ndarray, normals: np.ndarray,
@@ -191,12 +219,22 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
     points01 = (points - lo) / extent
 
     mark("start")
-    field, weight = _splat(jnp.asarray(points01), jnp.asarray(normals), grid)
+    # Bucket-pad the cloud so every device program has a static shape from
+    # a small set (one compile per bucket, not per cloud). Padding points
+    # sit at the (0,0,0) grid corner with ZERO normals: they contribute
+    # nothing to the vector field (hence chi), only a little splat weight
+    # at a corner `padding * extent` away from any real surface, and the
+    # iso mean masks them out.
+    n_pts = len(points01)
+    nb = _bucket(n_pts)
+    pts_pad = jnp.asarray(_pad_rows(points01.astype(np.float32), nb))
+    nrm_pad = jnp.asarray(_pad_rows(normals, nb))
+    field, weight = _splat(pts_pad, nrm_pad, grid)
     div = _divergence(field, grid)
     del field  # free 3x grid^3 HBM before the FFT allocates its spectra
     chi = _solve_poisson_from_div(div, grid, smooth_sigma)
     del div
-    iso = float(jnp.mean(_trilinear_gather(chi, jnp.asarray(points01), grid)))
+    iso = float(_masked_mean_gather(chi, pts_pad, grid, n_pts))
     mark("device solve+iso")
 
     f16 = os.environ.get("E3D_POISSON_READBACK", "f16") == "f16"
@@ -221,9 +259,11 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
         mark("host cell decode")
         if len(cell_ids) == 0:
             return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+        kb = _bucket(len(cell_ids))
         vals = np.asarray(
-            _gather_cell_corners(chi, jnp.asarray(cell_ids), grid, f16),
-            np.float32)
+            _gather_cell_corners(chi, jnp.asarray(_pad_rows(cell_ids, kb)),
+                                 grid, f16),
+            np.float32)[:len(cell_ids)]
         mark("corner-value readback")
         verts, tris = marching_tetrahedra_cells(
             cell_ids, vals, (grid, grid, grid), iso, lo, spacing)
@@ -246,9 +286,11 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
         return verts, tris
 
     if density_percentile > 0:
-        verts01 = (verts - lo) / extent
-        dens = np.asarray(_trilinear_gather(weight, jnp.asarray(verts01),
-                                            grid))
+        verts01 = ((verts - lo) / extent).astype(np.float32)
+        vb = _bucket(len(verts01))
+        dens = np.asarray(_trilinear_gather(
+            weight, jnp.asarray(_pad_rows(verts01, vb)),
+            grid))[:len(verts01)]
         keep = dens >= np.percentile(dens, density_percentile)
         remap = -np.ones(len(verts), np.int64)
         remap[keep] = np.arange(int(keep.sum()))
