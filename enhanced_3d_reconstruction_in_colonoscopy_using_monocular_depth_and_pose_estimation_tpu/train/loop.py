@@ -212,10 +212,19 @@ def fit_depth(
 
 def evaluate_depth(task: DepthTask, params, loader, pre: DevicePreprocessor,
                    max_depths=None) -> dict[str, float]:
-    """Mean metrics over a loader (weighting each batch equally, like the
-    reference's MeanMetric over per-batch values). Combined batches also
-    produce per-source ``SimCol/`` and ``C3VD/`` metrics (sample-weighted,
-    C3VD l1/rmse in mm)."""
+    """Mean metrics over a loader.
+
+    Two weighting conventions coexist here ON PURPOSE, each matching the
+    reference path it mirrors:
+
+    - overall metrics weight each BATCH equally — torchmetrics MeanMetric
+      updated once per batch (``lightning_model.py:145-152``), so a
+      smaller final val batch counts the same as a full one;
+    - per-source ``SimCol/``/``C3VD/`` metrics are SAMPLE-weighted (by
+      each batch's per-source count) with C3VD l1/rmse rescaled to mm —
+      ``lightning_model_combined.py:199-217,372-391`` updates the
+      per-source collections only with that source's samples.
+    """
     sums: dict[str, float] = {}
     count = 0
     src_sums: dict[str, float] = {}
