@@ -37,6 +37,11 @@ def log(msg: str) -> None:
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.core.debug import (  # noqa: E501
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     if os.environ.get("E3D_BENCH_TRAIN_ONLY", "0") == "1":
         measure_train()
         return

@@ -55,13 +55,15 @@ class DepthAnythingV2(nn.Module):
     max_depth: float = 20.0
     dtype: Any = jnp.bfloat16
     grad_checkpoint: bool = False
+    # ToMe-style token-merge fraction (0 = off; see ops/token_merge.py).
+    token_merge: float = 0.0
 
     @nn.compact
     def __call__(self, img: Array) -> Array:
         b, h, w, _ = img.shape
         ph, pw = h // PATCH_SIZE, w // PATCH_SIZE
         taps = DinoViT(self.encoder, self.dtype, self.grad_checkpoint,
-                       name="pretrained")(img)
+                       self.token_merge, name="pretrained")(img)
         depth01 = DPTHead(VIT_ARCHS[self.encoder]["embed_dim"], self.features,
                           tuple(self.out_channels), self.dtype,
                           name="depth_head")(taps, ph, pw)
@@ -70,7 +72,8 @@ class DepthAnythingV2(nn.Module):
 
 def build_depth_model(encoder: str, max_depth: float,
                       dtype: Any = jnp.bfloat16,
-                      grad_checkpoint: bool = False) -> DepthAnythingV2:
+                      grad_checkpoint: bool = False,
+                      token_merge: float = 0.0) -> DepthAnythingV2:
     cfg = MODEL_CONFIGS[encoder]
     return DepthAnythingV2(
         encoder=cfg["encoder"],
@@ -79,6 +82,7 @@ def build_depth_model(encoder: str, max_depth: float,
         max_depth=max_depth,
         dtype=dtype,
         grad_checkpoint=grad_checkpoint,
+        token_merge=token_merge,
     )
 
 

@@ -154,11 +154,19 @@ def interpolate_pos_embed(pos_embed: Array, grid_h: int, grid_w: int) -> Array:
 
 
 class DinoViT(nn.Module):
-    """DINOv2 ViT trunk exposing DAv2-style intermediate features."""
+    """DINOv2 ViT trunk exposing DAv2-style intermediate features.
+
+    ``token_merge`` (off by default): ToMe-style one-shot merge of that
+    fraction of patch tokens right after the FIRST tap block; later taps
+    reconstruct the full grid through the tracked slot map
+    (``ops/token_merge.py``) so the DPT decoder is unchanged. A pure
+    speed/accuracy dial with no reference counterpart.
+    """
 
     encoder: str = "vitl"
     dtype: Any = jnp.bfloat16
     grad_checkpoint: bool = False
+    token_merge: float = 0.0
 
     @nn.compact
     def __call__(self, img: Array, tap_indices: list[int] | None = None
@@ -205,14 +213,27 @@ class DinoViT(nn.Module):
             block_cls = nn.remat(Block)
 
         outputs: dict[int, Array] = {}
+        merged_taps: set[int] = set()
+        slot_map = None
         tap_set = set(taps)
+        merge_after = min(taps) if (self.token_merge > 0 and taps) else None
         for i in range(depth):
             x = block_cls(dim, heads, self.dtype, name=f"blocks_{i}")(x)
             if i in tap_set:
                 outputs[i] = x
+                if slot_map is not None:
+                    merged_taps.add(i)
+            if i == merge_after:
+                from ..ops.token_merge import bipartite_merge
+
+                x, slot_map = bipartite_merge(x, self.token_merge)
 
         results: list[tuple[Array, Array]] = []
         for i in taps:
             y = final_norm(outputs[i])
+            if i in merged_taps:
+                from ..ops.token_merge import unmerge
+
+                y = unmerge(y, slot_map)
             results.append((y[:, 1:], y[:, 0]))
         return results
