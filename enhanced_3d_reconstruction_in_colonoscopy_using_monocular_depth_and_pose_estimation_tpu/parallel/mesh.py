@@ -117,8 +117,18 @@ def shard_batch(mesh: Mesh, tree: Any, axis: str = DATA_AXIS,
         if nproc == 1:
             return jax.device_put(x, sharding)
         if spec == P():
-            # Replicated leaf: every process holds the full (identical)
-            # array.
+            if not force_replicated:
+                # The loader SHARDED rows across processes but the global
+                # batch doesn't divide the data axis: every process holds
+                # a DIFFERENT slice, so "replicate local data" would give
+                # each process a different idea of the same global array
+                # (silent divergence). Gather the full batch first.
+                from jax.experimental import multihost_utils
+
+                gathered = np.asarray(multihost_utils.process_allgather(x))
+                x = np.concatenate(list(gathered), axis=bdim)
+            # Replicated leaf: every process now holds the full
+            # (identical) array.
             return jax.make_array_from_process_local_data(
                 sharding, x, x.shape)
         global_shape = (x.shape[:bdim] + (global_rows,)

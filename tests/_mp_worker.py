@@ -1,0 +1,85 @@
+"""Worker for the real 2-process multi-host training test.
+
+Run as: python -m tests._mp_worker <pid> <nprocs> <port> <fixture> <out.json>
+
+Each process gets 4 virtual CPU devices (8 global at nprocs=2; 8 local at
+nprocs=1), joins a jax.distributed gloo cluster, and runs 2 real
+``fit_depth`` steps on the shared SimCol fixture — the SAME code path as
+production (process-sharded PrefetchLoader -> shard_batch global arrays
+-> jitted train_step). Writes its final eval loss to out.json; the parent
+asserts 1-process and 2-process runs agree.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    fixture, out_path = sys.argv[4], sys.argv[5]
+    per_proc = 8 // nprocs
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={per_proc}")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if nprocs > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{port}",
+            num_processes=nprocs, process_id=pid)
+    assert len(jax.devices()) == 8, jax.devices()
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import e3d_tpu  # noqa: F401
+    from e3d_tpu.core.dtypes import POLICY_F32
+    from e3d_tpu.data import SimColDataModule
+    from e3d_tpu.data.preprocess import DevicePreprocessor
+    from e3d_tpu.parallel import MeshSpec, build_mesh
+    from e3d_tpu.parallel.mesh import shard_batch
+    from e3d_tpu.train import DepthTask
+    from e3d_tpu.train.loop import fit_depth
+
+    dm = SimColDataModule(
+        data_dir=fixture, train_list=f"{fixture}/train.txt",
+        val_list=f"{fixture}/val.txt", test_list=f"{fixture}/test.txt",
+        batch_size=4, num_workers=2, size=56, seed=7)
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=4,
+                     grad_accum=2, policy=POLICY_F32,
+                     grad_checkpoint=False,
+                     device_mesh=build_mesh(MeshSpec(data=8, model=1)))
+    scratch = os.path.join(os.path.dirname(out_path), f"p{pid}")
+    state = fit_depth(
+        task, dm, max_epochs=1,
+        log_dir=os.path.join(scratch, "logs"),
+        # Checkpoint dir is SHARED across processes (multi-process Orbax
+        # save coordinates through it; per-process dirs deadlock).
+        ckpt_dir=os.path.join(os.path.dirname(out_path),
+                              f"ckpt_n{nprocs}"),
+        val_check_interval=100.0,
+        max_steps=2, seed=7)
+
+    # Deterministic probe: eval loss on the first val batch, replicated
+    # (process_count=1 so every process reads the FULL batch).
+    from e3d_tpu.data.loader import PrefetchLoader
+
+    pre = DevicePreprocessor(size=56)
+    dm.setup("fit")
+    batch = next(iter(PrefetchLoader(dm.val_dataset, 4, num_threads=2,
+                                     process_count=1)))
+    jbatch = shard_batch(task.mesh, batch, force_replicated=True)
+    metrics = task.eval_step(state.params, pre(jbatch, train=False))
+    out = {"pid": pid, "nprocs": nprocs,
+           "eval_loss": float(metrics["loss"]),
+           "step": int(np.asarray(state.step))}
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(out, f)
+    print(f"[mp_worker {pid}/{nprocs}] {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
