@@ -109,6 +109,7 @@ def main(argv: list[str] | None = None) -> None:
         grad_checkpoint=False,
         device_mesh=mesh,
         tensor_parallel=tensor_parallel,
+        token_merge=float(cfg.model.get("token_merge", 0.0)),
     )
     params = load_params(checkpoint_path, cfg.model.encoder, task,
                          size=int(cfg.dataset.size))

@@ -66,10 +66,11 @@ class DepthTask:
         grad_checkpoint: bool = True,
         device_mesh=None,
         tensor_parallel: bool = False,
+        token_merge: float = 0.0,
     ):
         self.model = build_depth_model(
             encoder, max_depth, dtype=policy.compute_dtype,
-            grad_checkpoint=grad_checkpoint)
+            grad_checkpoint=grad_checkpoint, token_merge=token_merge)
         self.encoder = encoder
         self.min_depth = float(min_depth)
         self.max_depth = float(max_depth)
