@@ -201,6 +201,62 @@ void e3d_estimate_normals(const float* points, int64_t n, float radius,
 
 namespace mt {
 
+// Open-addressing hash map (key uint64 != 0 -> int32): ~3x faster than
+// std::unordered_map on the 10M+ lookup/insert mix of the welder, which
+// is a measurable slice of the warm depth-9 pipeline on a 1-core host.
+struct EdgeMap {
+  std::vector<uint64_t> keys_;
+  std::vector<int32_t> vals_;
+  size_t mask_ = 0, count_ = 0;
+
+  void reserve(size_t n) {
+    size_t cap = 64;
+    while (cap < 2 * n) cap <<= 1;
+    if (cap <= keys_.size()) return;
+    std::vector<uint64_t> ok;
+    ok.swap(keys_);
+    std::vector<int32_t> ov;
+    ov.swap(vals_);
+    keys_.assign(cap, 0);
+    vals_.assign(cap, 0);
+    mask_ = cap - 1;
+    count_ = 0;
+    for (size_t i = 0; i < ok.size(); ++i)
+      if (ok[i]) insert(ok[i], ov[i]);
+  }
+
+  static inline size_t mix(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    return static_cast<size_t>(k);
+  }
+
+  // Returns the value slot for key; *found tells whether it existed.
+  int32_t* probe(uint64_t key, bool* found) {
+    if (count_ * 4 >= (mask_ + 1) * 3) reserve((mask_ + 1));
+    size_t i = mix(key) & mask_;
+    while (true) {
+      if (keys_[i] == key) {
+        *found = true;
+        return &vals_[i];
+      }
+      if (keys_[i] == 0) {
+        *found = false;
+        keys_[i] = key;
+        ++count_;
+        return &vals_[i];
+      }
+      i = (i + 1) & mask_;
+    }
+  }
+
+  void insert(uint64_t key, int32_t v) {
+    bool found;
+    *probe(key, &found) = v;
+  }
+};
+
 struct Mesh {
   std::vector<float> verts;
   std::vector<int32_t> tris;
@@ -209,7 +265,8 @@ struct Mesh {
   std::vector<uint64_t> keys;
   // Weld vertices: one shared vertex per grid edge (keyed by the two
   // global corner ids).
-  std::unordered_map<uint64_t, int32_t> edge_cache;
+  EdgeMap edge_cache;
+  Mesh() { edge_cache.reserve(1 << 15); }
 };
 
 inline int64_t gid(int ix, int iy, int iz, int ny, int nz) {
@@ -223,9 +280,10 @@ int32_t edge_vertex(Mesh& mesh, const float* fa, const float* fb,
                     int64_t ga, int64_t gb) {
   uint64_t lo = static_cast<uint64_t>(std::min(ga, gb));
   uint64_t hi = static_cast<uint64_t>(std::max(ga, gb));
-  uint64_t key = (lo << 32) ^ hi;
-  auto it = mesh.edge_cache.find(key);
-  if (it != mesh.edge_cache.end()) return it->second;
+  uint64_t key = (lo << 32) ^ hi;  // never 0: hi > lo >= 0
+  bool found;
+  int32_t* slot = mesh.edge_cache.probe(key, &found);
+  if (found) return *slot;
   float t = (std::abs(vb - va) > 1e-12f) ? (iso - va) / (vb - va) : 0.5f;
   t = std::min(std::max(t, 0.f), 1.f);
   mesh.verts.push_back(fa[0] + t * (fb[0] - fa[0]));
@@ -233,7 +291,7 @@ int32_t edge_vertex(Mesh& mesh, const float* fa, const float* fb,
   mesh.verts.push_back(fa[2] + t * (fb[2] - fa[2]));
   mesh.keys.push_back(key);
   int32_t idx = static_cast<int32_t>(mesh.verts.size() / 3 - 1);
-  mesh.edge_cache.emplace(key, idx);
+  *slot = idx;
   return idx;
 }
 
@@ -353,6 +411,29 @@ int num_threads() {
 int merge_and_export(std::vector<Mesh>& chunks, float** out_verts,
                      int64_t* out_n_verts, int32_t** out_tris,
                      int64_t* out_n_tris) {
+  if (chunks.size() == 1) {
+    // Single worker: already fully welded — export without re-hashing.
+    Mesh& m = chunks[0];
+    *out_n_verts = static_cast<int64_t>(m.verts.size() / 3);
+    *out_n_tris = static_cast<int64_t>(m.tris.size() / 3);
+    *out_verts = static_cast<float*>(std::malloc(m.verts.size() *
+                                                 sizeof(float)));
+    *out_tris = static_cast<int32_t*>(std::malloc(m.tris.size() *
+                                                  sizeof(int32_t)));
+    if ((!*out_verts && !m.verts.empty()) ||
+        (!*out_tris && !m.tris.empty())) {
+      std::free(*out_verts);
+      std::free(*out_tris);
+      *out_verts = nullptr;
+      *out_tris = nullptr;
+      return 1;
+    }
+    std::memcpy(*out_verts, m.verts.data(),
+                m.verts.size() * sizeof(float));
+    std::memcpy(*out_tris, m.tris.data(),
+                m.tris.size() * sizeof(int32_t));
+    return 0;
+  }
   size_t vtotal = 0, ttotal = 0;
   for (const auto& m : chunks) {
     vtotal += m.keys.size();
@@ -362,21 +443,22 @@ int merge_and_export(std::vector<Mesh>& chunks, float** out_verts,
   verts.reserve(vtotal * 3);
   std::vector<int32_t> tris;
   tris.reserve(ttotal);
-  std::unordered_map<uint64_t, int32_t> global_ids;
-  global_ids.reserve(vtotal * 2);
+  EdgeMap global_ids;
+  global_ids.reserve(vtotal);
   std::vector<int32_t> remap;
   for (auto& m : chunks) {
     remap.assign(m.keys.size(), 0);
     for (size_t i = 0; i < m.keys.size(); ++i) {
-      auto it = global_ids.find(m.keys[i]);
-      if (it != global_ids.end()) {
-        remap[i] = it->second;
+      bool found;
+      int32_t* slot = global_ids.probe(m.keys[i], &found);
+      if (found) {
+        remap[i] = *slot;
       } else {
         int32_t idx = static_cast<int32_t>(verts.size() / 3);
         verts.push_back(m.verts[3 * i]);
         verts.push_back(m.verts[3 * i + 1]);
         verts.push_back(m.verts[3 * i + 2]);
-        global_ids.emplace(m.keys[i], idx);
+        *slot = idx;
         remap[i] = idx;
       }
     }
