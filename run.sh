@@ -11,6 +11,11 @@ python -m $PKG.cli.train_depth dataset=c3vd model=large \
 CHECKPOINT_PATH="./checkpoints/simcol/mvitl_el5e-06_dl5e-05_b6_e30_dsimcol_p0.05" \
 python -m $PKG.cli.test_depth dataset=simcol model=large dataset.batch_size=20
 
+# Multi-chip / multi-host knobs (any train/test CLI): mesh shape + TP.
+#   trainer.mesh_data=4 trainer.mesh_model=2 trainer.tensor_parallel=true
+# Multi-host: one process per host with JAX_COORDINATOR_ADDRESS set (or
+# trainer.distributed=true); loaders shard per process automatically.
+
 # Train + test pose
 python -m $PKG.cli.train_pose model.lr=1e-4 trainer.max_epochs=30
 
@@ -18,6 +23,8 @@ python -m $PKG.cli.train_pose model.lr=1e-4 trainer.max_epochs=30
 python -m $PKG.cli.infer --encoder vitl \
     --load-from ./checkpoints/best.ckpt --max-depth 20 \
     -i datasets/SyntheticColon -d simcol --pred-only --grayscale
+# ... optionally 18% faster with a small accuracy cost (README):
+#     --batch-size 64 --token-merge 0.3
 
 # Point cloud + Poisson mesh from predicted depths + GT poses
 python -m $PKG.cli.pointcloud -i datasets/SyntheticColon -o recon_out/
