@@ -1,0 +1,175 @@
+"""Native media codecs: baseline JPEG + AVI/MP4 MJPEG containers.
+
+Covers the native replacement for the reference's cv2 video tooling
+(/root/reference/video_to_images.py:70-126,
+/root/reference/data_processing/convert_avi_to_mp4.py:30-50): JPEG
+encode/decode vs cv2 goldens, container demux/remux interop with cv2 in
+both directions, the lossless AVI->MP4 remux, and the cv2 fallback for
+non-MJPEG codecs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import e3d_tpu  # noqa: F401
+from e3d_tpu.media import native
+from e3d_tpu.media.video import (_native_reader, convert_avi_to_mp4,
+                                 video_to_frames)
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _smooth_rgb(h=64, w=96, seed=0):
+    rng = np.random.default_rng(seed)
+    img = np.cumsum(rng.standard_normal((h, w, 3)), axis=1)
+    img = np.cumsum(img, axis=0)
+    return ((img - img.min()) / (np.ptp(img) + 1e-9) * 255).astype(np.uint8)
+
+
+# ----------------------------- JPEG codec -----------------------------------
+
+
+def test_jpeg_gray_roundtrip_matches_cv2():
+    g = _smooth_rgb()[..., 0]
+    data = native.encode_jpeg(g, 90)
+    back = native.decode_jpeg(data)
+    cvd = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+    # No chroma: decoders agree to IDCT rounding.
+    assert np.abs(cvd.astype(int) - back.astype(int)).max() <= 1
+    assert np.abs(back.astype(int) - g.astype(int)).max() <= 12  # q90
+
+
+def test_jpeg_color_decode_matches_cv2_on_cv2_encoded():
+    img = _smooth_rgb()
+    ok, enc = cv2.imencode(".jpg", img[..., ::-1],
+                           [cv2.IMWRITE_JPEG_QUALITY, 90])
+    assert ok
+    nat = native.decode_jpeg(enc.tobytes())
+    cvd = cv2.imdecode(enc, cv2.IMREAD_COLOR)[..., ::-1]
+    # Chroma upsampling differs (box vs libjpeg fancy) so the raw pixel
+    # gap is chroma-bound; the luma plane must agree tightly.
+    assert np.mean(np.abs(cvd.astype(int) - nat.astype(int))) < 3.0
+    ny = nat.astype(np.float64) @ [0.299, 0.587, 0.114]
+    cy = cvd.astype(np.float64) @ [0.299, 0.587, 0.114]
+    assert np.abs(ny - cy).max() <= 3.0
+
+
+def test_jpeg_color_encode_readable_by_cv2():
+    img = _smooth_rgb(48, 64, seed=3)
+    data = native.encode_jpeg(img, 92)
+    cvd = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    assert cvd is not None and cvd.shape == (48, 64, 3)
+    native_err = np.mean(np.abs(cvd[..., ::-1].astype(int) - img.astype(int)))
+    # Relative quality: native encode must be in the same class as cv2's
+    # own q92 roundtrip on the identical image (both 4:2:0-bound).
+    ok, ref = cv2.imencode(".jpg", img[..., ::-1],
+                           [cv2.IMWRITE_JPEG_QUALITY, 92])
+    assert ok
+    cv_rt = cv2.imdecode(ref, cv2.IMREAD_COLOR)
+    cv_err = np.mean(np.abs(cv_rt[..., ::-1].astype(int) - img.astype(int)))
+    assert native_err <= 1.5 * cv_err + 0.5
+
+
+def test_jpeg_info_and_bad_stream():
+    img = _smooth_rgb(32, 40)
+    data = native.encode_jpeg(img, 90)
+    assert native.jpeg_info(data) == (32, 40, 3)
+    with pytest.raises(ValueError):
+        native.decode_jpeg(b"\x00" * 64)
+
+
+# ----------------------------- containers -----------------------------------
+
+
+@pytest.fixture()
+def mjpg_avi(tmp_path):
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                             (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        writer.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    writer.release()
+    return path
+
+
+def test_native_reader_demuxes_cv2_avi(mjpg_avi):
+    with native.VideoReader(mjpg_avi) as r:
+        assert (r.width, r.height, r.num_frames) == (64, 48, 12)
+        assert r.is_mjpeg and abs(r.fps - 10.0) < 1e-6
+        f0 = r.frame_rgb(0)
+    cap = cv2.VideoCapture(mjpg_avi)
+    ok, cf = cap.read()
+    cap.release()
+    assert ok
+    # Same stored JPEG, decoder chroma upsampling differs on noise.
+    assert np.abs(f0.astype(int) - cf[..., ::-1].astype(int)).max() <= 48
+    assert np.mean(np.abs(f0.astype(int) - cf[..., ::-1].astype(int))) < 2.0
+
+
+def test_native_writer_avi_and_mp4_readable_by_cv2(tmp_path):
+    img = _smooth_rgb(48, 64)
+    for ext, fps in (("avi", 30.0), ("mp4", 29.97)):
+        path = str(tmp_path / f"out.{ext}")
+        with native.VideoWriter(path, 64, 48, fps) as w:
+            for _ in range(5):
+                w.write_rgb(img)
+        cap = cv2.VideoCapture(path)
+        assert cap.isOpened()
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+        assert abs(cap.get(cv2.CAP_PROP_FPS) - fps) < 0.01
+        ok, fr = cap.read()
+        cap.release()
+        assert ok and fr.shape == (48, 64, 3)
+        with native.VideoReader(path) as r:
+            assert r.num_frames == 5 and r.is_mjpeg
+            assert abs(r.fps - fps) < 1e-6
+
+
+def test_convert_avi_to_mp4_is_lossless_remux(mjpg_avi, tmp_path):
+    out = str(tmp_path / "out.mp4")
+    convert_avi_to_mp4(mjpg_avi, out)
+    with native.VideoReader(mjpg_avi) as src, native.VideoReader(out) as dst:
+        assert dst.num_frames == src.num_frames
+        assert abs(dst.fps - src.fps) < 1e-6
+        for i in (0, 5, 11):
+            assert dst.frame_bytes(i) == src.frame_bytes(i)  # bit-exact
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 12
+    cap.release()
+
+
+def test_video_to_frames_native_is_lossless_without_crop(mjpg_avi, tmp_path):
+    out = str(tmp_path / "frames")
+    n = video_to_frames(mjpg_avi, out, test=True, test_frames=3)
+    assert n == 3
+    with native.VideoReader(mjpg_avi) as r:
+        stored = r.frame_bytes(0)
+    with open(os.path.join(out, "frame_0000.jpg"), "rb") as f:
+        assert f.read() == stored
+
+
+def test_video_to_frames_native_crop_and_stride(mjpg_avi, tmp_path):
+    out = str(tmp_path / "frames")
+    n = video_to_frames(mjpg_avi, out,
+                        crop={"x": 10, "y": 5, "width": 40, "height": 30},
+                        every_n=3)
+    assert n == 4  # 12 frames, every 3rd
+    img = cv2.imread(os.path.join(out, "frame_0000.jpg"))
+    assert img.shape == (30, 40, 3)
+
+
+def test_non_mjpeg_falls_back_to_cv2(tmp_path):
+    path = str(tmp_path / "x.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (64, 48))
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        writer.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    writer.release()
+    assert _native_reader(path) is None
+    out = str(tmp_path / "frames")
+    assert video_to_frames(path, out) == 4  # cv2 path still works
