@@ -86,6 +86,20 @@ def output_paths(args, filename: str) -> tuple[Path, str]:
     return Path(args.outdir) / rel.parent, base_name
 
 
+def _imread_bgr(path: str):
+    """Decode an input frame to BGR uint8 via the native C++ decoders
+    (PNG: data/native, JPEG: media/native), cv2 fallback; None if
+    unreadable (cv2.imread convention, run.py:233)."""
+    try:
+        from ..data.io import decode_rgb
+
+        return np.ascontiguousarray(decode_rgb(path)[..., ::-1])
+    except Exception:
+        import cv2
+
+        return cv2.imread(path)
+
+
 def main(argv=None) -> None:
     from ..core.debug import enable_compilation_cache
 
@@ -148,7 +162,7 @@ def main(argv=None) -> None:
                 write_outputs(*item, raw, depth)
 
         for item in todo:
-            raw = cv2.imread(item[0])
+            raw = _imread_bgr(item[0])
             if raw is None:
                 print(f"Warning: unreadable image skipped: {item[0]}")
                 unreadable += 1
@@ -161,7 +175,7 @@ def main(argv=None) -> None:
             flush(shape)
     else:
         for filename, out_folder, base_name in todo:
-            raw = cv2.imread(filename)
+            raw = _imread_bgr(filename)
             if raw is None:
                 print(f"Warning: unreadable image skipped: {filename}")
                 unreadable += 1

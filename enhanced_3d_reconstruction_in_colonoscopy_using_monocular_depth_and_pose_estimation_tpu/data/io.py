@@ -100,8 +100,19 @@ def process_images(train_vids: list[str], val_vids: list[str],
 
 
 def decode_rgb(path: str) -> np.ndarray:
-    """RGB uint8 (H, W, 3). Native C++ PNG decoder (data/native) with a
-    PIL fallback; drops alpha."""
+    """RGB uint8 (H, W, 3). Native C++ PNG/JPEG decoders (data/native,
+    media/native) with a PIL fallback; drops alpha."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            from ..media import native as _media_native
+
+            with open(path, "rb") as f:
+                arr = _media_native.decode_jpeg(f.read())
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            return np.ascontiguousarray(arr)
+        except Exception:
+            pass  # progressive/exotic JPEG -> PIL
     native = _native_png()
     if native and path.endswith(".png"):
         try:

@@ -162,6 +162,42 @@ def test_video_to_frames_native_crop_and_stride(mjpg_avi, tmp_path):
     assert img.shape == (30, 40, 3)
 
 
+def test_infer_cli_on_native_jpeg_frames(mjpg_avi, tmp_path, monkeypatch):
+    """video_to_frames (native) -> infer CLI frame_*.jpg mode decodes the
+    JPEGs through the native codec (run.py:151-187 video-frame input)."""
+    from e3d_tpu.cli import infer
+
+    frames = str(tmp_path / "frames")
+    assert video_to_frames(mjpg_avi, frames, test=True, test_frames=2) == 2
+    # An unreadable file in the glob must be warned-and-skipped, not fatal.
+    with open(os.path.join(frames, "frame_9999.jpg"), "wb") as f:
+        f.write(b"not a jpeg")
+    monkeypatch.chdir(tmp_path)
+    infer.main(["--encoder", "vitt", "-i", frames, "-d", "testing",
+                "-o", str(tmp_path / "out"), "--input-size", "56",
+                "--save-numpy"])
+    for i in range(2):
+        d = np.load(tmp_path / "out" / f"frame_{i:04d}.npy")
+        assert d.shape == (48, 64) and np.isfinite(d).all()
+    assert not (tmp_path / "out" / "frame_9999.npy").exists()
+
+
+def test_decode_rgb_uses_native_jpeg(tmp_path):
+    from e3d_tpu.data.io import decode_rgb
+
+    img = _smooth_rgb(32, 40)
+    path = str(tmp_path / "x.jpg")
+    with open(path, "wb") as f:
+        f.write(native.encode_jpeg(img, 95))
+    out = decode_rgb(path)
+    assert out.shape == (32, 40, 3) and out.dtype == np.uint8
+    # q95 4:2:0 roundtrip on strong chroma: chroma-bound error, luma tight
+    assert np.mean(np.abs(out.astype(int) - img.astype(int))) < 6.0
+    oy = out.astype(np.float64) @ [0.299, 0.587, 0.114]
+    iy = img.astype(np.float64) @ [0.299, 0.587, 0.114]
+    assert np.mean(np.abs(oy - iy)) < 1.5
+
+
 def test_non_mjpeg_falls_back_to_cv2(tmp_path):
     path = str(tmp_path / "x.mp4")
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
