@@ -451,6 +451,34 @@ struct Decoder {
     return 0;
   }
 
+  // Centered bilinear upsample of one chroma row to full width — for
+  // factor 2 this is exactly libjpeg's "fancy" (triangular 3:1) filter,
+  // which keeps decode output within ~1 LSB of libjpeg/cv2.
+  void upsample_row(const Component& c, int r, float* dst) const {
+    int sx = hmax / c.h, sy = vmax / c.v;
+    int cw = (width + sx - 1) / sx;
+    int ch = (height + sy - 1) / sy;
+    float cy = (r + 0.5f) / sy - 0.5f;
+    int r0 = static_cast<int>(std::floor(cy));
+    float wy = cy - r0;
+    int r1 = r0 + 1;
+    r0 = r0 < 0 ? 0 : (r0 >= ch ? ch - 1 : r0);
+    r1 = r1 < 0 ? 0 : (r1 >= ch ? ch - 1 : r1);
+    const uint8_t* row0 = c.plane.data() + static_cast<size_t>(r0) * c.plane_w;
+    const uint8_t* row1 = c.plane.data() + static_cast<size_t>(r1) * c.plane_w;
+    for (int x = 0; x < width; ++x) {
+      float cx = (x + 0.5f) / sx - 0.5f;
+      int x0 = static_cast<int>(std::floor(cx));
+      float wx = cx - x0;
+      int x1 = x0 + 1;
+      x0 = x0 < 0 ? 0 : (x0 >= cw ? cw - 1 : x0);
+      x1 = x1 < 0 ? 0 : (x1 >= cw ? cw - 1 : x1);
+      float top = row0[x0] + wx * (row0[x1] - row0[x0]);
+      float bot = row1[x0] + wx * (row1[x1] - row1[x0]);
+      dst[x] = top + wy * (bot - top);
+    }
+  }
+
   void emit_rgb(uint8_t* out) const {
     if (ncomp == 1) {
       const Component& y = comp[0];
@@ -463,19 +491,16 @@ struct Decoder {
     const Component& Y = comp[0];
     const Component& Cb = comp[1];
     const Component& Cr = comp[2];
-    int sx1 = hmax / Cb.h, sy1 = vmax / Cb.v;
-    int sx2 = hmax / Cr.h, sy2 = vmax / Cr.v;
+    std::vector<float> cbline(width), crline(width);
     for (int r = 0; r < height; ++r) {
       const uint8_t* yrow = Y.plane.data() + static_cast<size_t>(r) * Y.plane_w;
-      const uint8_t* cbrow =
-          Cb.plane.data() + static_cast<size_t>(r / sy1) * Cb.plane_w;
-      const uint8_t* crrow =
-          Cr.plane.data() + static_cast<size_t>(r / sy2) * Cr.plane_w;
+      upsample_row(Cb, r, cbline.data());
+      upsample_row(Cr, r, crline.data());
       uint8_t* o = out + static_cast<size_t>(r) * width * 3;
       for (int x = 0; x < width; ++x) {
         float y = yrow[x];
-        float cb = cbrow[x / sx1] - 128.f;
-        float cr = crrow[x / sx2] - 128.f;
+        float cb = cbline[x] - 128.f;
+        float cr = crline[x] - 128.f;
         o[3 * x + 0] = clamp_u8(y + 1.402f * cr);
         o[3 * x + 1] = clamp_u8(y - 0.344136f * cb - 0.714136f * cr);
         o[3 * x + 2] = clamp_u8(y + 1.772f * cb);
