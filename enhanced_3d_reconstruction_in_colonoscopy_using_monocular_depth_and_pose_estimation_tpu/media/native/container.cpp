@@ -106,12 +106,24 @@ int open_avi(Reader* r) {
   if (!read_at(r->f, 0, hdr, 12)) return -2;
   if (std::memcmp(hdr, "RIFF", 4) || std::memcmp(hdr + 8, "AVI ", 4))
     return -3;
-  uint64_t end = 8 + rd_u32le(hdr + 4);
-  if (fseeko(r->f, 0, SEEK_END) == 0) {
-    uint64_t fsz = static_cast<uint64_t>(ftello(r->f));
+  uint64_t fsz = 0;
+  if (fseeko(r->f, 0, SEEK_END) == 0)
+    fsz = static_cast<uint64_t>(ftello(r->f));
+  // Walk every top-level RIFF chunk: the first is "AVI ", files beyond
+  // the 32-bit RIFF limit append OpenDML "RIFF AVIX" extension chunks
+  // (long recordings — ffmpeg/cv2 write these past ~1 GB).
+  uint64_t pos = 0;
+  bool first = true;
+  while (pos + 12 <= fsz && read_at(r->f, pos, hdr, 12) &&
+         !std::memcmp(hdr, "RIFF", 4) &&
+         (first ? !std::memcmp(hdr + 8, "AVI ", 4)
+                : !std::memcmp(hdr + 8, "AVIX", 4))) {
+    uint64_t end = pos + 8 + rd_u32le(hdr + 4);
     if (end > fsz) end = fsz;  // tolerate truncated size fields
+    if (!avi_walk(r, pos + 12, end, 0)) return -4;
+    first = false;
+    pos = end + (end & 1);
   }
-  if (!avi_walk(r, 12, end, 0)) return -4;
   char fc[5];
   for (int i = 0; i < 4; ++i)
     fc[i] = static_cast<char>(
@@ -300,7 +312,9 @@ void avi_write_headers(AviWriter* a, uint32_t nframes, uint32_t max_size,
                        uint32_t movi_size) {
   FILE* f = a->f;
   fseeko(f, 0, SEEK_SET);
-  uint64_t riff_size = 4 + (8 + 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40) + 8 + 4 +
+  // "AVI " + LIST hdrl (incl. 8-byte header) + LIST movi (movi_size
+  // already counts the 'movi' fourcc) + idx1 chunk.
+  uint64_t riff_size = 4 + (8 + 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 40) + 8 +
                        movi_size + 8 + 16 * nframes;
   fwrite("RIFF", 1, 4, f);
   wr_u32le(f, static_cast<uint32_t>(riff_size));

@@ -238,6 +238,34 @@ def test_decode_rgb_uses_native_jpeg(tmp_path):
     assert np.mean(np.abs(oy - iy)) < 1.5
 
 
+def test_avi_opendml_avix_extension(tmp_path):
+    """Frames inside appended RIFF-AVIX chunks (OpenDML large-file
+    extension, written by ffmpeg past ~1 GB) are indexed too."""
+    import struct
+
+    img = _smooth_rgb(48, 64)
+    path = str(tmp_path / "big.avi")
+    with native.VideoWriter(path, 64, 48, 30.0) as w:
+        for _ in range(2):
+            w.write_rgb(img)
+
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    jpeg = native.encode_jpeg(img, 90)
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", jpeg) * 2)
+    body = b"AVIX" + movi
+    with open(path, "ab") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    with native.VideoReader(path) as r:
+        assert r.num_frames == 4
+        assert r.frame_bytes(3) == jpeg
+        f3 = r.frame_rgb(3)
+        assert f3.shape == (48, 64, 3)
+
+
 def test_non_mjpeg_falls_back_to_cv2(tmp_path):
     path = str(tmp_path / "x.mp4")
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
