@@ -38,6 +38,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--token-merge", type=float, default=0.0,
                    help="ToMe token-merge fraction (0=off; opt-in speed "
                         "mode, see README for measured speed/accuracy)")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 encoder matmuls (opt-in speed mode "
+                        "riding the MXU 2x int8 rate, see README)")
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 batches same-resolution frames on device "
                         "(TPU-native extension; 1 = reference per-frame)")
@@ -113,7 +116,8 @@ def main(argv=None) -> None:
     args = parse_args(argv)
     model, params = load_or_init_depth_params(args.encoder, args.max_depth,
                                               args.load_from,
-                                              token_merge=args.token_merge)
+                                              token_merge=args.token_merge,
+                                              quant_int8=args.int8)
 
     filenames = enumerate_inputs(args)
     os.makedirs(args.outdir, exist_ok=True)

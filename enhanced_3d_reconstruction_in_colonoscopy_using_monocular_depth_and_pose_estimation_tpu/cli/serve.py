@@ -44,13 +44,17 @@ def main(argv=None) -> None:
     p.add_argument("--token-merge", type=float, default=0.0,
                    help="ToMe token-merge fraction (0=off; opt-in speed "
                         "mode, see README)")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 encoder matmuls (opt-in speed mode, "
+                        "see README)")
     p.add_argument("--save-numpy", action="store_true")
     p.add_argument("--grayscale", action="store_true")
     args = p.parse_args(argv)
 
     model, params = load_or_init_depth_params(args.encoder, args.max_depth,
                                               args.load_from,
-                                              token_merge=args.token_merge)
+                                              token_merge=args.token_merge,
+                                              quant_int8=args.int8)
 
     os.makedirs(args.outdir, exist_ok=True)
     processed: set[str] = set()

@@ -110,6 +110,7 @@ def main(argv: list[str] | None = None) -> None:
         device_mesh=mesh,
         tensor_parallel=tensor_parallel,
         token_merge=float(cfg.model.get("token_merge", 0.0)),
+        quant_int8=bool(cfg.model.get("quant_int8", False)),
     )
     params = load_params(checkpoint_path, cfg.model.encoder, task,
                          size=int(cfg.dataset.size))

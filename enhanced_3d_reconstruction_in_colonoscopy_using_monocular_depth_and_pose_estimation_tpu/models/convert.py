@@ -37,17 +37,20 @@ from .depth_anything import MODEL_CONFIGS
 
 def load_or_init_depth_params(encoder: str, max_depth: float,
                               load_from: str | None,
-                              token_merge: float = 0.0):
+                              token_merge: float = 0.0,
+                              quant_int8: bool = False):
     """Build the depth model and either convert a torch checkpoint or fall
     back to a random init (shared by the infer / pointcloud / serve CLIs).
-    ``token_merge``: opt-in ToMe speed mode (parameter-free — the same
+    ``token_merge``: opt-in ToMe speed mode; ``quant_int8``: opt-in
+    dynamic-int8 encoder matmuls (both parameter-free — the same
     checkpoints load unchanged)."""
     import jax
 
     from .depth_anything import build_depth_model
 
     model = build_depth_model(encoder, max_depth=max_depth,
-                              token_merge=token_merge)
+                              token_merge=token_merge,
+                              quant_int8=quant_int8)
     if load_from and os.path.isdir(load_from):
         # Orbax checkpoint dir — our own training output (core.checkpoint).
         from ..core.checkpoint import CheckpointManager

@@ -57,13 +57,16 @@ class DepthAnythingV2(nn.Module):
     grad_checkpoint: bool = False
     # ToMe-style token-merge fraction (0 = off; see ops/token_merge.py).
     token_merge: float = 0.0
+    # Dynamic-int8 encoder matmuls (inference-only; see ops/quant.py).
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, img: Array) -> Array:
         b, h, w, _ = img.shape
         ph, pw = h // PATCH_SIZE, w // PATCH_SIZE
         taps = DinoViT(self.encoder, self.dtype, self.grad_checkpoint,
-                       self.token_merge, name="pretrained")(img)
+                       self.token_merge, self.quant_int8,
+                       name="pretrained")(img)
         depth01 = DPTHead(VIT_ARCHS[self.encoder]["embed_dim"], self.features,
                           tuple(self.out_channels), self.dtype,
                           name="depth_head")(taps, ph, pw)
@@ -73,7 +76,8 @@ class DepthAnythingV2(nn.Module):
 def build_depth_model(encoder: str, max_depth: float,
                       dtype: Any = jnp.bfloat16,
                       grad_checkpoint: bool = False,
-                      token_merge: float = 0.0) -> DepthAnythingV2:
+                      token_merge: float = 0.0,
+                      quant_int8: bool = False) -> DepthAnythingV2:
     cfg = MODEL_CONFIGS[encoder]
     return DepthAnythingV2(
         encoder=cfg["encoder"],
@@ -83,6 +87,7 @@ def build_depth_model(encoder: str, max_depth: float,
         dtype=dtype,
         grad_checkpoint=grad_checkpoint,
         token_merge=token_merge,
+        quant_int8=quant_int8,
     )
 
 
@@ -217,8 +222,12 @@ class _ModelThunk:
 
     def __init__(self, model: DepthAnythingV2):
         self._model = model
+        # Every field that changes the traced graph must be in the key,
+        # or a cached jit program from a different config gets reused.
         self._key = (model.encoder, model.features, tuple(model.out_channels),
-                     float(model.max_depth), str(model.dtype))
+                     float(model.max_depth), str(model.dtype),
+                     model.grad_checkpoint, float(model.token_merge),
+                     model.quant_int8)
 
     def __call__(self) -> DepthAnythingV2:
         return self._model

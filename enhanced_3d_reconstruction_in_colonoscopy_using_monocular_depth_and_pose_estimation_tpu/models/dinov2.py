@@ -57,9 +57,21 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if self.quant:
+            from ..ops.quant import int8_dense
+
+            # Same {kernel, bias} tree as nn.Dense -> checkpoints drop in.
+            k1, b1 = _LinearParams(x.shape[-1], self.hidden_dim,
+                                   name="fc1")()
+            x = int8_dense(x.astype(self.dtype), k1, b1)
+            x = nn.gelu(x, approximate=False)
+            k2, b2 = _LinearParams(self.hidden_dim, self.out_dim,
+                                   name="fc2")()
+            return int8_dense(x, k2, b2)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
@@ -90,6 +102,7 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -100,12 +113,22 @@ class Attention(nn.Module):
         x = x.astype(self.dtype)
         if attn_ops.use_fused_qkv():
             return attn_ops.qkv_self_attention(
-                x, w_qkv, b_qkv, w_proj, b_proj, self.num_heads)
-        qkv = x @ w_qkv.astype(self.dtype) + b_qkv.astype(self.dtype)
+                x, w_qkv, b_qkv, w_proj, b_proj, self.num_heads,
+                quant=self.quant)
+        if self.quant:
+            from ..ops.quant import int8_dense
+
+            qkv = int8_dense(x, w_qkv, b_qkv)
+        else:
+            qkv = x @ w_qkv.astype(self.dtype) + b_qkv.astype(self.dtype)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = attn_ops.multi_head_attention(q, k, v)
         out = out.reshape(b, n, self.dim)
+        if self.quant:
+            from ..ops.quant import int8_dense
+
+            return int8_dense(out, w_proj, b_proj)
         return out @ w_proj.astype(self.dtype) + b_proj.astype(self.dtype)
 
 
@@ -123,16 +146,26 @@ class Block(nn.Module):
     dim: int
     num_heads: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # E3D_QUANT_SCOPE: all (default) | mlp | attn — sweep knob to
+        # attribute int8 wins between the MLP and attention projections.
+        import os
+
+        scope = os.environ.get("E3D_QUANT_SCOPE", "all")
+        attn_q = self.quant and scope in ("all", "attn")
+        mlp_q = self.quant and scope in ("all", "mlp")
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm1")(x)
-        y = Attention(self.dim, self.num_heads, self.dtype, name="attn")(y)
+        y = Attention(self.dim, self.num_heads, self.dtype,
+                      quant=attn_q, name="attn")(y)
         x = x + LayerScale(self.dim, name="ls1")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm2")(x)
-        y = Mlp(4 * self.dim, self.dim, self.dtype, name="mlp")(y)
+        y = Mlp(4 * self.dim, self.dim, self.dtype, quant=mlp_q,
+                name="mlp")(y)
         return x + LayerScale(self.dim, name="ls2")(y)
 
 
@@ -167,6 +200,9 @@ class DinoViT(nn.Module):
     dtype: Any = jnp.bfloat16
     grad_checkpoint: bool = False
     token_merge: float = 0.0
+    # Dynamic-int8 (W8A8) block matmuls — inference-only opt-in speed
+    # mode riding the MXU's 2x int8 rate (ops/quant.py).
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, img: Array, tap_indices: list[int] | None = None
@@ -218,7 +254,8 @@ class DinoViT(nn.Module):
         tap_set = set(taps)
         merge_after = min(taps) if (self.token_merge > 0 and taps) else None
         for i in range(depth):
-            x = block_cls(dim, heads, self.dtype, name=f"blocks_{i}")(x)
+            x = block_cls(dim, heads, self.dtype, self.quant_int8,
+                          name=f"blocks_{i}")(x)
             if i in tap_set:
                 outputs[i] = x
                 if slot_map is not None:

@@ -73,7 +73,8 @@ def use_fused_qkv() -> bool:
 
 def qkv_self_attention(x: Array, w_qkv: Array, b_qkv: Array,
                        w_proj: Array, b_proj: Array, num_heads: int,
-                       interpret: bool | None = None) -> Array:
+                       interpret: bool | None = None,
+                       quant: bool = False) -> Array:
     """Self-attention of x (B, N, C) with packed qkv/proj weights, fused
     q/k^T/v projection layouts feeding the Pallas kernel directly.
 
@@ -95,16 +96,48 @@ def qkv_self_attention(x: Array, w_qkv: Array, b_qkv: Array,
     hd = c // h
     np_ = padded_len(n)
     xp = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0))) if np_ != n else x
-    w = w_qkv.astype(x.dtype).reshape(c, 3, h, hd)
     bias = b_qkv.astype(x.dtype).reshape(3, h, hd)
-    q = (jnp.einsum("bnc,chd->bhnd", xp, w[:, 0])
-         + bias[0][None, :, None, :])
-    kt = (jnp.einsum("bnc,chd->bhdn", xp, w[:, 1])
-          + bias[1][None, :, :, None])
-    v = (jnp.einsum("bnc,chd->bhnd", xp, w[:, 2])
-         + bias[2][None, :, None, :])
+    if quant:
+        from .quant import int8_einsum, quantize_cols, quantize_rows
+
+        # W8A8 projections in the SAME fused layouts: the int8 GEMMs
+        # ride the MXU at 2x rate; scales broadcast onto the outputs.
+        xq, xs = quantize_rows(xp)                      # (b,n,c), (b,n,1)
+        wq, wsc = quantize_cols(w_qkv.astype(jnp.float32))  # (c,3c),(3c,)
+        wq = wq.reshape(c, 3, h, hd)
+        wsc = wsc.reshape(3, h, hd)
+        q = int8_einsum("bnc,chd->bhnd", xq, wq[:, 0],
+                        xs[:, None, :, :], wsc[0][None, :, None, :],
+                        x.dtype) + bias[0][None, :, None, :]
+        kt = int8_einsum("bnc,chd->bhdn", xq, wq[:, 1],
+                         xs[:, None, :, 0][:, :, None, :],
+                         wsc[1][None, :, :, None],
+                         x.dtype) + bias[1][None, :, :, None]
+        v = int8_einsum("bnc,chd->bhnd", xq, wq[:, 2],
+                        xs[:, None, :, :], wsc[2][None, :, None, :],
+                        x.dtype) + bias[2][None, :, None, :]
+    else:
+        w = w_qkv.astype(x.dtype).reshape(c, 3, h, hd)
+        q = (jnp.einsum("bnc,chd->bhnd", xp, w[:, 0])
+             + bias[0][None, :, None, :])
+        kt = (jnp.einsum("bnc,chd->bhdn", xp, w[:, 1])
+              + bias[1][None, :, :, None])
+        v = (jnp.einsum("bnc,chd->bhnd", xp, w[:, 2])
+             + bias[2][None, :, None, :])
     out = flash_attention_fused(q, kt, v, n_valid=n, interpret=interpret)
     out = out[:, :, :n]                                  # (b, h, n, hd)
+    if quant:
+        from .quant import int8_einsum, quantize_cols
+
+        of = out.astype(jnp.float32)
+        # Contraction spans (h, d): one scale per (b, n) token row.
+        osc = jnp.maximum(jnp.max(jnp.abs(of), axis=(1, 3), keepdims=True),
+                          1e-8) / 127.0                 # (b,1,n,1)
+        oq = jnp.clip(jnp.round(of / osc), -127, 127).astype(jnp.int8)
+        pq, psc = quantize_cols(w_proj.astype(jnp.float32))   # (c,c),(c,)
+        y = int8_einsum("bhnd,hdc->bnc", oq, pq.reshape(h, hd, c),
+                        osc[:, 0], psc[None, None, :], x.dtype)
+        return y + b_proj.astype(y.dtype)
     y = jnp.einsum("bhnd,hdc->bnc", out,
                    w_proj.astype(x.dtype).reshape(h, hd, c))
     return y + b_proj.astype(y.dtype)

@@ -67,10 +67,14 @@ class DepthTask:
         device_mesh=None,
         tensor_parallel: bool = False,
         token_merge: float = 0.0,
+        quant_int8: bool = False,
     ):
+        # quant_int8 is inference-only (zero gradients through round);
+        # it is exposed here so the test/eval CLI can run quantized.
         self.model = build_depth_model(
             encoder, max_depth, dtype=policy.compute_dtype,
-            grad_checkpoint=grad_checkpoint, token_merge=token_merge)
+            grad_checkpoint=grad_checkpoint, token_merge=token_merge,
+            quant_int8=quant_int8)
         self.encoder = encoder
         self.min_depth = float(min_depth)
         self.max_depth = float(max_depth)

@@ -1,0 +1,102 @@
+"""Dynamic-int8 (W8A8) inference mode (ops/quant.py): kernel-level
+correctness + model wiring. Off-by-default speed mode; no reference
+counterpart (the reference runs fp16 CUDA)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import e3d_tpu  # noqa: F401
+from e3d_tpu.ops.quant import int8_dense, quantize_cols, quantize_rows
+
+
+def test_quantize_rows_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    q, s = quantize_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == (4, 1)
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    # symmetric per-row quant: error bounded by half a step
+    step = np.asarray(s)
+    assert (np.abs(back - np.asarray(x)) <= 0.5 * step + 1e-7).all()
+    # extremes hit +/-127 exactly
+    rows = np.asarray(x)
+    assert (np.abs(np.asarray(q)).max(axis=1) == 127).all()
+    assert np.allclose(np.abs(rows).max(axis=1) / 127.0,
+                       np.asarray(s)[:, 0], rtol=1e-6)
+
+
+def test_quantize_cols_per_channel(rng):
+    w = np.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+    w[:, 3] *= 100.0  # one hot column must not poison the others
+    q, s = quantize_cols(jnp.asarray(w))
+    assert s.shape == (8,)
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    assert (np.abs(back - w) <= 0.5 * np.asarray(s) + 1e-7).all()
+
+
+def test_int8_dense_close_to_float(rng):
+    x = jnp.asarray(rng.normal(size=(6, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(128, 32)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    ref = np.asarray(x @ w + b)
+    out = np.asarray(int8_dense(x, w, b, out_dtype=jnp.float32))
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel
+
+
+def test_model_quant_bounded_delta(rng):
+    """vitt forward with quant_int8: same shape, bounded deviation from
+    the float forward with the SAME params (checkpoints drop in)."""
+    from e3d_tpu.models import build_depth_model
+
+    image = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    m0 = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32)
+    mq = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32,
+                           quant_int8=True)
+    params = m0.init(jax.random.PRNGKey(0), image)["params"]
+    d0 = np.asarray(m0.apply({"params": params}, image))
+    dq = np.asarray(mq.apply({"params": params}, image))
+    assert dq.shape == d0.shape and np.isfinite(dq).all()
+    rel = np.abs(dq - d0).mean() / max(np.abs(d0).mean(), 1e-6)
+    assert 0.0 < rel < 0.1, rel
+
+
+def test_quant_fused_path_matches_xla_branch(rng):
+    """The fused-layout projection path (the graph executed on TPU,
+    ops/attention.py qkv_self_attention quant=True, Pallas kernel in
+    interpret mode) agrees with the XLA branch under quantization."""
+    from e3d_tpu.models import build_depth_model
+    from e3d_tpu.ops import attention as attn_ops
+
+    image = jnp.asarray(rng.normal(size=(1, 56, 56, 3)).astype(np.float32))
+    mq = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32,
+                           quant_int8=True)
+    params = mq.init(jax.random.PRNGKey(0), image)["params"]
+    d_xla = np.asarray(mq.apply({"params": params}, image))
+    attn_ops.set_force_fused(True)
+    try:
+        d_fused = np.asarray(mq.apply({"params": params}, image))
+    finally:
+        attn_ops.set_force_fused(False)
+    rel = np.abs(d_fused - d_xla).mean() / max(np.abs(d_xla).mean(), 1e-6)
+    # Same quantization grid; differences come from the flash-attention
+    # kernel's bf16 internals and the per-(b,n) proj re-quantization.
+    assert rel < 0.05, rel
+    assert np.isfinite(d_fused).all()
+
+
+def test_infer_cli_int8_flag(tmp_path, monkeypatch, rng):
+    """--int8 end-to-end through the infer CLI."""
+    import cv2
+
+    from e3d_tpu.cli import infer
+
+    img = (rng.uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+    path = str(tmp_path / "x.png")
+    cv2.imwrite(path, img)
+    monkeypatch.chdir(tmp_path)
+    infer.main(["--encoder", "vitt", "-i", path, "-o", str(tmp_path / "out"),
+                "--input-size", "56", "--save-numpy", "--int8"])
+    d = np.load(tmp_path / "out" / "x.npy")
+    assert d.shape == (64, 64) and np.isfinite(d).all()
+    assert (d >= 0).all() and (d <= 20.0).all()
