@@ -25,6 +25,8 @@ python -m $PKG.cli.infer --encoder vitl \
     -i datasets/SyntheticColon -d simcol --pred-only --grayscale
 # ... optionally 18% faster with a small accuracy cost (README):
 #     --batch-size 64 --token-merge 0.3
+# ... or +14% at small batch via dynamic-int8 matmuls (README):
+#     --batch-size 8 --int8
 
 # Point cloud + Poisson mesh from predicted depths + GT poses
 python -m $PKG.cli.pointcloud -i datasets/SyntheticColon -o recon_out/
