@@ -37,3 +37,14 @@ def test_serve_cli_once(tmp_path):
                 "--input-size", "56", "--once"])
     after = {p: os.path.getmtime(p) for p in pngs}
     assert before == after
+
+    # --int8 speed mode produces close (not identical) depths
+    out8 = tmp_path / "depths_int8"
+    serve.main(["--encoder", "vitt", "-i", str(indir), "-o", str(out8),
+                "--input-size", "56", "--batch-size", "4", "--once",
+                "--save-numpy", "--int8"])
+    d8 = np.load(sorted(glob.glob(str(out8 / "*.npy")))[0])
+    d0 = np.load(npys[0])
+    assert np.isfinite(d8).all()
+    rel = np.abs(d8 - d0).mean() / max(np.abs(d0).mean(), 1e-6)
+    assert rel < 0.1, rel
