@@ -40,10 +40,16 @@ def main(argv=None) -> None:
     p.add_argument("-o", "--outdir", required=True)
     p.add_argument("--input-size", type=int, default=518)
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--token-merge", type=float, default=0.0,
+                   help="ToMe token-merge fraction (0=off; README)")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 encoder matmuls (README)")
     args = p.parse_args(argv)
 
     model, params = load_or_init_depth_params(args.encoder, args.max_depth,
-                                              args.load_from)
+                                              args.load_from,
+                                              token_merge=args.token_merge,
+                                              quant_int8=args.int8)
 
     frames = sorted(glob.glob(os.path.join(
         args.input, "SyntheticColon_*", "Frames_*", "FrameBuffer_*.png")))
