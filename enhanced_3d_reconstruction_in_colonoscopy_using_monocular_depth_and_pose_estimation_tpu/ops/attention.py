@@ -102,6 +102,8 @@ def qkv_self_attention(x: Array, w_qkv: Array, b_qkv: Array,
 
         # W8A8 projections in the SAME fused layouts: the int8 GEMMs
         # ride the MXU at 2x rate; scales broadcast onto the outputs.
+        # (A packed single-GEMM variant with bf16 output transposes
+        # measured strictly worse — CLAUDE.md int8 notes.)
         xq, xs = quantize_rows(xp)                      # (b,n,c), (b,n,1)
         wq, wsc = quantize_cols(w_qkv.astype(jnp.float32))  # (c,3c),(3c,)
         wq = wq.reshape(c, 3, h, hd)
