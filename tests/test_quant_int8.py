@@ -85,6 +85,22 @@ def test_quant_fused_path_matches_xla_branch(rng):
     assert np.isfinite(d_fused).all()
 
 
+def test_int8_composes_with_token_merge(rng):
+    """Both opt-in speed modes together: finite, bounded deviation."""
+    from e3d_tpu.models import build_depth_model
+
+    image = jnp.asarray(rng.normal(size=(1, 56, 56, 3)).astype(np.float32))
+    m0 = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32)
+    params = m0.init(jax.random.PRNGKey(0), image)["params"]
+    d0 = np.asarray(m0.apply({"params": params}, image))
+    mb = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32,
+                           quant_int8=True, token_merge=0.25)
+    db = np.asarray(mb.apply({"params": params}, image))
+    assert np.isfinite(db).all()
+    rel = np.abs(db - d0).mean() / max(np.abs(d0).mean(), 1e-6)
+    assert 0.0 < rel < 0.5, rel
+
+
 def test_infer_cli_int8_flag(tmp_path, monkeypatch, rng):
     """--int8 end-to-end through the infer CLI."""
     import cv2
