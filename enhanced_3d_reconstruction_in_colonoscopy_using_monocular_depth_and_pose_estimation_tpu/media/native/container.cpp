@@ -162,7 +162,7 @@ bool find_box(const uint8_t* p, uint64_t n, const char* name, Box* out) {
     } else if (sz == 0) {
       sz = n - pos;
     }
-    if (sz < hdr || pos + sz > n) return false;
+    if (sz < hdr || sz > n - pos) return false;  // no pos+sz overflow
     if (!std::memcmp(p + pos + 4, name, 4)) {
       out->p = body;
       out->size = sz - hdr;
@@ -191,9 +191,9 @@ int open_mp4(Reader* r) {
     } else if (sz == 0) {
       sz = fsz - pos;
     }
-    if (sz < hdr) return -3;
+    if (sz < hdr || sz > fsz - pos) return -3;  // also blocks pos overflow
     if (!std::memcmp(h + 4, "moov", 4)) {
-      moov.resize(sz - hdr);
+      moov.resize(sz - hdr);  // bounded by fsz via the check above
       if (!read_at(r->f, pos + hdr, moov.data(), moov.size())) return -3;
       break;
     }
@@ -226,8 +226,9 @@ int open_mp4(Reader* r) {
         }
         // Timing: mdhd timescale + stts average delta.
         if (find_box(mdia.p, mdia.size, "mdhd", &mdhd) && mdhd.size >= 20) {
-          uint32_t timescale = mdhd.p[0] == 1 ? rd_u32be(mdhd.p + 20)
-                                              : rd_u32be(mdhd.p + 12);
+          uint32_t timescale = (mdhd.p[0] == 1 && mdhd.size >= 24)
+                                   ? rd_u32be(mdhd.p + 20)
+                                   : rd_u32be(mdhd.p + 12);
           Box stts;
           if (timescale && find_box(stbl.p, stbl.size, "stts", &stts) &&
               stts.size >= 16) {
@@ -245,6 +246,10 @@ int open_mp4(Reader* r) {
           return -6;
         uint32_t fixed = rd_u32be(stsz.p + 4);
         uint32_t nsamp = rd_u32be(stsz.p + 8);
+        // Bound every table count by its box payload (fuzzed counts must
+        // not drive OOB reads or allocation bombs).
+        if (nsamp > (1u << 28)) return -6;
+        if (!fixed && stsz.size < 12ull + 4ull * nsamp) return -6;
         r->sizes.resize(nsamp);
         for (uint32_t i = 0; i < nsamp; ++i)
           r->sizes[i] = fixed ? fixed : rd_u32be(stsz.p + 12 + 4 * i);
@@ -253,14 +258,18 @@ int open_mp4(Reader* r) {
           if (!find_box(stbl.p, stbl.size, "co64", &stco)) return -7;
           co64 = true;
         }
+        if (stco.size < 8) return -7;
         uint32_t nchunk = rd_u32be(stco.p + 4);
+        if (stco.size < 8ull + (co64 ? 8ull : 4ull) * nchunk) return -7;
         std::vector<uint64_t> chunk_off(nchunk);
         for (uint32_t i = 0; i < nchunk; ++i)
           chunk_off[i] = co64 ? rd_u64be(stco.p + 8 + 8 * i)
                               : rd_u32be(stco.p + 8 + 4 * i);
         // stsc runs -> samples per chunk.
         if (!find_box(stbl.p, stbl.size, "stsc", &stsc)) return -8;
+        if (stsc.size < 8) return -8;
         uint32_t nrun = rd_u32be(stsc.p + 4);
+        if (stsc.size < 8ull + 12ull * nrun) return -8;
         r->offs.clear();
         uint32_t s = 0;
         for (uint32_t run = 0; run < nrun && s < nsamp; ++run) {

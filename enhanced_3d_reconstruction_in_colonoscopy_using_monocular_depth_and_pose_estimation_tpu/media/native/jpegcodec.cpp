@@ -284,15 +284,18 @@ struct Decoder {
       int seglen = (buf[i + 2] << 8) | buf[i + 3];
       const uint8_t* seg = buf + i + 4;
       long segend = i + 2 + seglen;
-      if (segend > len) return -4;
+      if (seglen < 2 || segend > len) return -4;
       switch (marker) {
         case 0xC0:
         case 0xC1: {  // SOF0 / SOF1 (both baseline-decodable)
+          if (seglen < 8) return -4;
           if (seg[0] != 8) return -5;  // 12-bit unsupported
           height = (seg[1] << 8) | seg[2];
           width = (seg[3] << 8) | seg[4];
           ncomp = seg[5];
+          if (width < 1 || height < 1) return -5;
           if (ncomp != 1 && ncomp != 3) return -6;
+          if (seglen < 8 + 3 * ncomp) return -4;
           for (int c = 0; c < ncomp; ++c) {
             comp[c].id = seg[6 + 3 * c];
             comp[c].h = seg[7 + 3 * c] >> 4;
@@ -301,6 +304,7 @@ struct Decoder {
             if (comp[c].h < 1 || comp[c].h > 2 || comp[c].v < 1 ||
                 comp[c].v > 2)
               return -7;
+            if (comp[c].tq > 3) return -7;
             hmax = comp[c].h > hmax ? comp[c].h : hmax;
             vmax = comp[c].v > vmax ? comp[c].v : vmax;
           }
@@ -322,6 +326,7 @@ struct Decoder {
           const uint8_t* q = seg;
           const uint8_t* qend = buf + segend;
           while (q < qend) {
+            if (q + 17 > qend) return -10;
             int tc = q[0] >> 4, th = q[0] & 15;
             if (th > 3 || tc > 1) return -9;
             uint8_t bits[17] = {0};
@@ -330,7 +335,7 @@ struct Decoder {
               bits[l] = q[l];
               total += bits[l];
             }
-            if (q + 17 + total > qend) return -10;
+            if (total > 256 || q + 17 + total > qend) return -10;
             (tc == 0 ? dc_tab[th] : ac_tab[th]).build(bits, q + 17);
             q += 17 + total;
           }
@@ -343,6 +348,7 @@ struct Decoder {
             int pq = q[0] >> 4, tq = q[0] & 15;
             if (tq > 3) return -11;
             ++q;
+            if (q + (pq ? 128 : 64) > qend) return -11;
             for (int k = 0; k < 64; ++k) {
               qtab[tq][k] =
                   pq ? static_cast<uint16_t>((q[0] << 8) | q[1]) : *q;
@@ -352,11 +358,14 @@ struct Decoder {
           break;
         }
         case 0xDD:  // DRI
+          if (seglen < 4) return -4;
           restart_interval = (seg[0] << 8) | seg[1];
           break;
         case 0xDA: {  // SOS
+          if (seglen < 3) return -4;
           int ns = seg[0];
           if (ns != ncomp) return -12;
+          if (seglen < 3 + 2 * ns) return -4;
           for (int s = 0; s < ns; ++s) {
             int cs = seg[1 + 2 * s];
             int found = -1;
@@ -365,6 +374,7 @@ struct Decoder {
             if (found < 0) return -13;
             comp[found].td = seg[2 + 2 * s] >> 4;
             comp[found].ta = seg[2 + 2 * s] & 15;
+            if (comp[found].td > 3 || comp[found].ta > 3) return -13;
           }
           *sos_off = segend;
           return 0;
@@ -418,6 +428,9 @@ struct Decoder {
       if (!dc_tab[1].present) dc_tab[1].build(kDcChromaBits, kDcChromaVals);
       if (!ac_tab[1].present) ac_tab[1].build(kAcChromaBits, kAcChromaVals);
     }
+    for (int c = 0; c < ncomp; ++c)
+      if (!dc_tab[comp[c].td].present || !ac_tab[comp[c].ta].present)
+        return -15;  // scan references an undefined Huffman table
     int mcux = (width + 8 * hmax - 1) / (8 * hmax);
     int mcuy = (height + 8 * vmax - 1) / (8 * vmax);
     for (int c = 0; c < ncomp; ++c) {
