@@ -81,6 +81,43 @@ def test_container_truncation_and_bitflips_never_crash(tmp_path, ext,
     assert any(results) and not all(results)
 
 
+def test_png_tiff_truncation_and_bitflips_never_crash(tmp_path):
+    """data/native decoders (PNG, TIFF) on malformed dataset files.
+
+    (The exhaustive every-byte variant runs under AddressSanitizer —
+    perf/media_asan_fuzz*.py, ALL CLEAN; this keeps a fast regression
+    in-suite.)"""
+    cv2 = pytest.importorskip("cv2")
+    from e3d_tpu.data.io import decode_depth16_png, decode_rgb
+    from e3d_tpu.data.io import decode_c3vd_depth  # native TIFF fast path
+
+    rng = np.random.default_rng(0)
+    p8 = str(tmp_path / "a.png")
+    cv2.imwrite(p8, rng.integers(0, 255, (24, 32, 3), dtype=np.uint8))
+    p16 = str(tmp_path / "b.png")
+    cv2.imwrite(p16, rng.integers(0, 65535, (24, 32), dtype=np.uint16))
+    t16 = str(tmp_path / "c.tiff")
+    cv2.imwrite(t16, rng.integers(0, 65535, (24, 32), dtype=np.uint16))
+
+    cases = [(p8, decode_rgb), (p16, decode_depth16_png),
+             (t16, decode_c3vd_depth)]
+    for src, fn in cases:
+        blob = open(src, "rb").read()
+        q = str(tmp_path / ("fuzz" + os.path.splitext(src)[1]))
+        corpus = [blob[:cut] for cut in range(0, len(blob), 23)]
+        for i in range(0, len(blob), 11):
+            mut = bytearray(blob)
+            mut[i] ^= 0xFF
+            corpus.append(bytes(mut))
+        for b in corpus:
+            with open(q, "wb") as f:
+                f.write(b)
+            try:
+                fn(q)  # valid decode or Python exception — never a crash
+            except Exception:
+                pass
+
+
 def test_jpeg_garbage_inputs():
     noise = bytes(np.random.default_rng(7).integers(0, 256, 512,
                                                     dtype=np.uint8))
