@@ -150,11 +150,18 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        # E3D_QUANT_SCOPE: all (default) | mlp | attn — sweep knob to
-        # attribute int8 wins between the MLP and attention projections.
+        # E3D_QUANT_SCOPE: auto (default) | all | mlp | attn.
+        # Measured on v5e (perf/quant_int8_scope.log): attention-
+        # projection quant wins at small batch (-3.2 ms at bs8) but
+        # LOSES at bs64 (-22 ms), while MLP quant is the main win at
+        # bs8 and ~neutral at bs64. "auto" therefore quantizes the MLP
+        # always and attention only when the (trace-time static) batch
+        # is small, so --int8 never regresses much at large batch.
         import os
 
-        scope = os.environ.get("E3D_QUANT_SCOPE", "all")
+        scope = os.environ.get("E3D_QUANT_SCOPE", "auto")
+        if scope == "auto":
+            scope = "all" if x.shape[0] <= 16 else "mlp"
         attn_q = self.quant and scope in ("all", "attn")
         mlp_q = self.quant and scope in ("all", "mlp")
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
