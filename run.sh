@@ -27,6 +27,8 @@ python -m $PKG.cli.infer --encoder vitl \
 #     --batch-size 64 --token-merge 0.3
 # ... or +14% at small batch via dynamic-int8 matmuls (README):
 #     --batch-size 8 --int8
+# ... both dials together: 100 fps at batch 8 (README):
+#     --batch-size 8 --token-merge 0.3 --int8
 
 # Point cloud + Poisson mesh from predicted depths + GT poses
 python -m $PKG.cli.pointcloud -i datasets/SyntheticColon -o recon_out/
