@@ -151,17 +151,17 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         # E3D_QUANT_SCOPE: auto (default) | all | mlp | attn.
-        # Measured on v5e (perf/quant_int8_scope.log): attention-
-        # projection quant wins at small batch (-3.2 ms at bs8) but
-        # LOSES at bs64 (-22 ms), while MLP quant is the main win at
-        # bs8 and ~neutral at bs64. "auto" therefore quantizes the MLP
-        # always and attention only when the (trace-time static) batch
-        # is small, so --int8 never regresses much at large batch.
+        # Measured on v5e (perf/quant_int8_scope.log, quant_int8_bs_
+        # sweep.log): full quant wins at bs8/16/32 (+14/7.8/13.9%) but
+        # the attention projections LOSE 22 ms at bs64, where bf16
+        # GEMMs already run at peak efficiency. "auto" quantizes the
+        # MLP always and attention only when the (trace-time static)
+        # batch is <= 32, so --int8 never regresses much at any batch.
         import os
 
         scope = os.environ.get("E3D_QUANT_SCOPE", "auto")
         if scope == "auto":
-            scope = "all" if x.shape[0] <= 16 else "mlp"
+            scope = "all" if x.shape[0] <= 32 else "mlp"
         attn_q = self.quant and scope in ("all", "attn")
         mlp_q = self.quant and scope in ("all", "mlp")
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
