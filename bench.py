@@ -62,6 +62,8 @@ def main() -> None:
     params = jax.tree.map(
         lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
     log(f"init: {time.time() - t0:.1f}s")
+    model_int8 = build_depth_model("vitl", max_depth=20.0,
+                                   dtype=jnp.bfloat16, quant_int8=True)
 
     # The axon tunnel's block_until_ready does not reliably wait for remote
     # execution, and large-tensor readbacks are tunnel-bound. So: iterate on
@@ -69,14 +71,15 @@ def main() -> None:
     # dedup/DCE possible) and read back one scalar, which forces completion.
     iters = 10
 
-    def measure_infer(bs: int) -> float:
+    def measure_infer(bs: int, m=None) -> float:
+        m = m or model
         image = jnp.asarray(
             np.random.default_rng(0).normal(size=(bs, 518, 518, 3))
             .astype(np.float32))
 
         def many(p, x):
             def body(_, acc):
-                d = model.apply({"params": p}, x + acc * 1e-9)
+                d = m.apply({"params": p}, x + acc * 1e-9)
                 return jnp.mean(d)
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
@@ -103,6 +106,10 @@ def main() -> None:
     fps_bs8 = measure_infer(8) if (
         batch != 8 and os.environ.get("E3D_BENCH_BS8_DIAG", "1") == "1"
     ) else fps
+    # Opt-in speed-dial diagnostic (NOT the headline — that stays the
+    # default parity configuration): dynamic-int8 at its best batch.
+    fps_int8_bs8 = measure_infer(8, model_int8) if (
+        os.environ.get("E3D_BENCH_INT8_DIAG", "1") == "1") else None
 
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE, "r", encoding="utf-8") as f:
@@ -117,12 +124,14 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "BENCH_INFER_DIAG.json"), "w",
               encoding="utf-8") as f:
-        json.dump({"metric": "depth_vitl518_infer_fps_per_chip",
-                   "bs64_fps": round(fps, 3),
-                   "bs8_fps": round(fps_bs8, 3),
-                   "baseline_fps_bs8": round(baseline, 3),
-                   "vs_baseline_same_batch": round(fps_bs8 / baseline, 4)},
-                  f)
+        diag = {"metric": "depth_vitl518_infer_fps_per_chip",
+                "bs64_fps": round(fps, 3),
+                "bs8_fps": round(fps_bs8, 3),
+                "baseline_fps_bs8": round(baseline, 3),
+                "vs_baseline_same_batch": round(fps_bs8 / baseline, 4)}
+        if fps_int8_bs8 is not None:
+            diag["int8_bs8_fps"] = round(fps_int8_bs8, 3)
+        json.dump(diag, f)
 
     if os.environ.get("E3D_BENCH_SKIP_TRAIN", "0") != "1":
         # Fresh process: the inference model must not share HBM with the
