@@ -64,12 +64,16 @@ class DepthAnythingV2(nn.Module):
     def __call__(self, img: Array) -> Array:
         b, h, w, _ = img.shape
         ph, pw = h // PATCH_SIZE, w // PATCH_SIZE
+        import os
+
         taps = DinoViT(self.encoder, self.dtype, self.grad_checkpoint,
                        self.token_merge, self.quant_int8,
                        name="pretrained")(img)
+        dpt_quant = (self.quant_int8
+                     and os.environ.get("E3D_QUANT_DPT", "1") == "1")
         depth01 = DPTHead(VIT_ARCHS[self.encoder]["embed_dim"], self.features,
                           tuple(self.out_channels), self.dtype,
-                          name="depth_head")(taps, ph, pw)
+                          quant=dpt_quant, name="depth_head")(taps, ph, pw)
         return depth01[..., 0].astype(jnp.float32) * self.max_depth
 
 

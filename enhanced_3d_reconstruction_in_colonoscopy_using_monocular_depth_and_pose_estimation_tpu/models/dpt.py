@@ -121,32 +121,71 @@ def _depth_to_space2(z: Array) -> Array:
     return z.reshape(b, 2 * h2, 2 * w2, 1)
 
 
+class QConv(nn.Module):
+    """nn.Conv-compatible conv (same {kernel, bias} param tree) with an
+    optional dynamic-int8 path (ops/quant.py int8_conv).
+
+    ``quant`` only engages when both channel widths are >= 128: the int8
+    MXU path measured 1.49x bf16 for 256-ch 3x3 convs but ~2x SLOWER for
+    32-ch ones (narrow channels under-tile the int8 lanes)."""
+
+    features: int
+    kernel_hw: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (*self.kernel_hw, cin, self.features),
+                            jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        pad = ((self.padding, self.padding),) * 2
+        if self.quant and min(cin, self.features) >= 128:
+            from ..ops.quant import int8_conv
+
+            return int8_conv(x.astype(self.dtype), kernel, bias,
+                             self.strides, pad)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.strides,
+            pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(y.dtype) if bias is not None else y
+
+
 class ResidualConvUnit(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         out = nn.relu(x)
-        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="conv1")(out)
+        out = QConv(self.features, dtype=self.dtype, quant=self.quant,
+                    name="conv1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="conv2")(out)
+        out = QConv(self.features, dtype=self.dtype, quant=self.quant,
+                    name="conv2")(out)
         return out + x
 
 
 class FeatureFusionBlock(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: Array, res: Array | None = None,
                  out_hw: tuple[int, int] | None = None) -> Array:
         if res is not None:
-            x = x + ResidualConvUnit(self.features, self.dtype,
+            x = x + ResidualConvUnit(self.features, self.dtype, self.quant,
                                      name="resConfUnit1")(res)
-        x = ResidualConvUnit(self.features, self.dtype,
+        x = ResidualConvUnit(self.features, self.dtype, self.quant,
                              name="resConfUnit2")(x)
         if out_hw is None:
             out_hw = (2 * x.shape[1], 2 * x.shape[2])
@@ -154,8 +193,8 @@ class FeatureFusionBlock(nn.Module):
         # exactly with bilinear resize (per-pixel linear map; resize rows
         # sum to 1, so the bias commutes too), and running it before the
         # upsample does 4x less conv work.
-        x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="out_conv")(x)
+        x = QConv(self.features, (1, 1), padding=0, dtype=self.dtype,
+                  quant=self.quant, name="out_conv")(x)
         return resize_align_corners(x, out_hw)
 
 
@@ -164,6 +203,8 @@ class DPTHead(nn.Module):
     features: int
     out_channels: Sequence[int]
     dtype: Any = jnp.bfloat16
+    # Dynamic-int8 for the wide (>=128-ch) convs; see ops/quant.py.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, taps: list[tuple[Array, Array]],
@@ -191,25 +232,25 @@ class DPTHead(nn.Module):
 
         rn = []
         for i, x in enumerate(outs):
-            rn.append(nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                              dtype=self.dtype, param_dtype=jnp.float32,
-                              name=f"layer{i + 1}_rn")(x))
+            rn.append(QConv(self.features, (3, 3), use_bias=False,
+                            dtype=self.dtype, quant=self.quant,
+                            name=f"layer{i + 1}_rn")(x))
         l1, l2, l3, l4 = rn
 
-        path4 = FeatureFusionBlock(self.features, self.dtype,
+        path4 = FeatureFusionBlock(self.features, self.dtype, self.quant,
                                    name="refinenet4")(
             l4, None, out_hw=(l3.shape[1], l3.shape[2]))
-        path3 = FeatureFusionBlock(self.features, self.dtype,
+        path3 = FeatureFusionBlock(self.features, self.dtype, self.quant,
                                    name="refinenet3")(
             path4, l3, out_hw=(l2.shape[1], l2.shape[2]))
-        path2 = FeatureFusionBlock(self.features, self.dtype,
+        path2 = FeatureFusionBlock(self.features, self.dtype, self.quant,
                                    name="refinenet2")(
             path3, l2, out_hw=(l1.shape[1], l1.shape[2]))
-        path1 = FeatureFusionBlock(self.features, self.dtype,
+        path1 = FeatureFusionBlock(self.features, self.dtype, self.quant,
                                    name="refinenet1")(path2, l1)
 
-        out = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="output_conv1")(path1)
+        out = QConv(self.features // 2, (3, 3), dtype=self.dtype,
+                    quant=self.quant, name="output_conv1")(path1)
         out = resize_align_corners(out, (patch_h * 14, patch_w * 14),
                                    order=os.environ.get("E3D_FINAL_RESIZE_ORDER")
                                    or None)

@@ -78,3 +78,33 @@ def int8_einsum(spec: str, x: Array, w: Array,
     acc = jnp.einsum(spec, x, w, preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * xscale * wscale
     return out.astype(out_dtype or jnp.bfloat16)
+
+
+def int8_conv(x: Array, kernel: Array, bias: Array | None = None,
+              strides=(1, 1), padding="SAME", out_dtype=None) -> Array:
+    """Dynamic W8A8 NHWC conv: ``conv(x, kernel) + bias`` on the int8 MXU.
+
+    Measured 268 vs 180 TF/s bf16 for 3x3/256-ch at DPT shapes
+    (perf/int8 conv microbench; narrow-channel convs LOSE — callers gate
+    on channel width). Activations get one symmetric scale per batch
+    image (max over H, W, C — convs mix spatial positions, so per-pixel
+    scales would not factor out of the accumulator); weights one scale
+    per output channel.
+    """
+    wf = kernel.astype(jnp.float32)
+    wscale = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), _EPS) / 127.0
+    wq = jnp.clip(jnp.round(wf / wscale), -127, 127).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    xscale = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3),
+                                 keepdims=True), _EPS) / 127.0
+    xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * xscale * wscale
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype or x.dtype)

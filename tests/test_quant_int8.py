@@ -44,6 +44,41 @@ def test_int8_dense_close_to_float(rng):
     assert rel < 0.02, rel
 
 
+def test_int8_conv_close_to_float(rng):
+    from e3d_tpu.ops.quant import int8_conv
+
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 128)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 128, 128)) * 0.05)
+                    .astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    out = int8_conv(x, w, b, (1, 1), ((1, 1), (1, 1)),
+                    out_dtype=jnp.float32)
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / \
+        np.abs(np.asarray(ref)).mean()
+    assert rel < 0.03, rel
+
+
+def test_qconv_matches_nn_conv_unquantized(rng):
+    """QConv (models/dpt.py) without quant is numerically identical to
+    nn.Conv with the same params (checkpoints drop in)."""
+    import flax.linen as nn
+
+    from e3d_tpu.models.dpt import QConv
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 16)).astype(np.float32))
+    q = QConv(24, (3, 3), dtype=jnp.float32)
+    ref = nn.Conv(24, (3, 3), padding=1, dtype=jnp.float32,
+                  param_dtype=jnp.float32)
+    params = q.init(jax.random.PRNGKey(0), x)["params"]
+    out_q = q.apply({"params": params}, x)
+    out_r = ref.apply({"params": params}, x)  # same {kernel, bias} tree
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_model_quant_bounded_delta(rng):
     """vitt forward with quant_int8: same shape, bounded deviation from
     the float forward with the SAME params (checkpoints drop in)."""
