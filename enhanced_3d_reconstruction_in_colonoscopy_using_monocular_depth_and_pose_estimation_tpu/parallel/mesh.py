@@ -175,11 +175,58 @@ def _spec_for_path(path: str, tp: bool) -> P:
     return P()
 
 
-def param_shardings(mesh: Mesh, params: Any, tensor_parallel: bool = False):
+# Leaves smaller than this stay replicated under FSDP: sharding a handful
+# of KB trades an all-gather launch for no memory win.
+FSDP_MIN_SIZE = 2 ** 15
+
+
+def fsdp_spec(shape: tuple[int, ...], mesh: Mesh,
+              base: P = P(), min_size: int = FSDP_MIN_SIZE) -> P:
+    """ZeRO-style spec: shard the largest dim divisible by the data axis.
+
+    ``base`` is an existing (e.g. tensor-parallel) spec for the leaf; the
+    data axis goes on the largest remaining ``None`` dim whose extent it
+    divides, so FSDP composes with Megatron TP (params end up sharded over
+    BOTH mesh axes). Leaves with fewer than ``min_size`` elements, or with
+    no divisible dim, keep ``base`` (replicated over the data axis) —
+    XLA's GSPMD then all-gathers each param just-in-time for its use and
+    reduce-scatters its gradient, which is exactly the ZeRO-3 schedule
+    expressed purely as shardings.
+    """
+    ndata = mesh.shape[DATA_AXIS]
+    n = 1
+    for d in shape:
+        n *= d
+    if ndata <= 1 or n < min_size:
+        return base
+    entries = list(base) + [None] * (len(shape) - len(base))
+    best = -1
+    for dim, extent in enumerate(shape):
+        if entries[dim] is None and extent % ndata == 0 and extent >= ndata:
+            if extent > (shape[best] if best >= 0 else 0):
+                best = dim
+    if best < 0:
+        return base
+    entries[best] = DATA_AXIS
+    return P(*entries)
+
+
+def fsdp_sharding(mesh: Mesh, shape: tuple[int, ...],
+                  min_size: int = FSDP_MIN_SIZE) -> NamedSharding:
+    """``NamedSharding`` form of ``fsdp_spec`` for one array shape."""
+    return NamedSharding(mesh, fsdp_spec(tuple(shape), mesh,
+                                         min_size=min_size))
+
+
+def param_shardings(mesh: Mesh, params: Any, tensor_parallel: bool = False,
+                    fsdp: bool = False,
+                    fsdp_min_size: int = FSDP_MIN_SIZE):
     """NamedSharding pytree for a parameter pytree.
 
     With ``tensor_parallel=False`` (default) everything is replicated; with
     True, ViT attention/MLP weights are sharded over the ``model`` axis.
+    With ``fsdp=True`` every large leaf is additionally sharded over the
+    ``data`` axis (see ``fsdp_spec``).
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
@@ -206,6 +253,9 @@ def param_shardings(mesh: Mesh, params: Any, tensor_parallel: bool = False):
                         or leaf.shape[dim] % mesh.shape[axis] != 0):
                     spec = P()
                     break
+        if fsdp:
+            spec = fsdp_spec(tuple(leaf.shape), mesh, base=spec,
+                             min_size=fsdp_min_size)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(shard_one, params)

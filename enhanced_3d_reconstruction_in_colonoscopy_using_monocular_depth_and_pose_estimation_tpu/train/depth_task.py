@@ -66,6 +66,8 @@ class DepthTask:
         grad_checkpoint: bool = True,
         device_mesh=None,
         tensor_parallel: bool = False,
+        fsdp: bool = False,
+        fsdp_min_size: int | None = None,
         token_merge: float = 0.0,
         quant_int8: bool = False,
     ):
@@ -81,6 +83,9 @@ class DepthTask:
         self.grad_accum = int(grad_accum)
         self.mesh = device_mesh or meshlib.build_mesh()
         self.tensor_parallel = tensor_parallel
+        self.fsdp = fsdp
+        self.fsdp_min_size = (meshlib.FSDP_MIN_SIZE if fsdp_min_size is None
+                              else int(fsdp_min_size))
         self._sched_args = dict(total_steps=total_steps, pct_start=pct_start,
                                 div_factor=div_factor)
         self._lrs = (encoder_lr, decoder_lr)
@@ -128,10 +133,24 @@ class DepthTask:
         return jax.device_put(state, shardings)
 
     def state_shardings(self, state: DepthTrainState):
+        """Sharding pytree matching a ``DepthTrainState``.
+
+        - default: params replicated (TP rules if enabled), optimizer
+          state replicated;
+        - ``fsdp=True``: params AND the Adam moments (every array leaf of
+          the optimizer state — mu/nu mirror the param shapes, so the
+          shape-based ``fsdp_spec`` gives them the same layout) sharded
+          over the ``data`` axis. ZeRO-3 as pure shardings: GSPMD inserts
+          the just-in-time all-gathers / gradient reduce-scatters.
+        """
         param_sh = meshlib.param_shardings(self.mesh, state.params,
-                                           self.tensor_parallel)
+                                           self.tensor_parallel, self.fsdp,
+                                           self.fsdp_min_size)
 
         def opt_sh(leaf):
+            if self.fsdp and hasattr(leaf, "shape"):
+                return meshlib.fsdp_sharding(self.mesh, leaf.shape,
+                                             self.fsdp_min_size)
             return meshlib.replicated_sharding(self.mesh)
 
         opt_state_sh = jax.tree.map(opt_sh, state.opt_state)
@@ -191,6 +210,16 @@ class DepthTask:
                 grads_acc = jax.tree.map(
                     lambda a, g: (a + g * wi).astype(a.dtype),
                     grads_acc, grads)
+                if self.fsdp:
+                    # ZeRO-2: pin the accumulated grads to the params'
+                    # data-axis layout so GSPMD reduce-scatters each
+                    # microbatch's grads instead of carrying the full
+                    # tree replicated through the scan.
+                    grads_acc = jax.tree.map(
+                        lambda a, p: jax.lax.with_sharding_constraint(
+                            a, meshlib.fsdp_sharding(self.mesh, p.shape,
+                                                     self.fsdp_min_size)),
+                        grads_acc, state.params)
                 met_acc = jax.tree.map(lambda a, m: a + m * wi,
                                        met_acc, metrics)
                 return (grads_acc, loss_acc + loss * wi, met_acc), None

@@ -13,6 +13,9 @@ python -m $PKG.cli.test_depth dataset=simcol model=large dataset.batch_size=20
 
 # Multi-chip / multi-host knobs (any train/test CLI): mesh shape + TP.
 #   trainer.mesh_data=4 trainer.mesh_model=2 trainer.tensor_parallel=true
+# FSDP/ZeRO (params + Adam moments sharded over the data axis; for models
+# whose replicated optimizer state would not fit one chip's HBM):
+#   trainer.fsdp=true
 # Multi-host: one process per host with JAX_COORDINATOR_ADDRESS set (or
 # trainer.distributed=true); loaders shard per process automatically.
 

@@ -174,3 +174,29 @@ def test_train_depth_cli_tp2_mesh(simcol_root, tmp_path, monkeypatch):
              (exp_dirs[0] / "metrics.jsonl").read_text().splitlines()]
     losses = [rec["train_loss"] for rec in lines if "train_loss" in rec]
     assert losses and all(np.isfinite(v) for v in losses)
+
+
+def test_train_depth_cli_fsdp(simcol_root, tmp_path, monkeypatch):
+    """FSDP/ZeRO is reachable from the CLI (trainer.fsdp=true): 2 steps
+    on the 8-device mesh with params+moments data-sharded, finite loss."""
+    from e3d_tpu.cli import train_depth
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("E3D_CONFIG_ROOT", CONFIG_ROOT)
+    train_depth.main(_dataset_overrides(simcol_root) + [
+        "dataset.batch_size=4",
+        "model.encoder=vitt",
+        "model.use_checkpoint=false",
+        "trainer.max_epochs=1",
+        "trainer.accumulate_grad_batches=1",
+        "trainer.precision=32-true",
+        "trainer.fsdp=true",
+        "++trainer.fsdp_min_size=1024",
+        "++trainer.max_steps=2",
+    ])
+    exp_dirs = list((tmp_path / "configs" / "experiments" / "simcol")
+                    .iterdir())
+    lines = [json.loads(line) for line in
+             (exp_dirs[0] / "metrics.jsonl").read_text().splitlines()]
+    losses = [rec["train_loss"] for rec in lines if "train_loss" in rec]
+    assert losses and all(np.isfinite(v) for v in losses)

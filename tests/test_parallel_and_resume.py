@@ -86,6 +86,101 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     mgr.close()
 
 
+def _run_steps_fsdp(mesh, batch, n=2, accum=1):
+    # fsdp_min_size=1024: vitt's largest matmul is 64x192 (12k elements),
+    # under the production 32k threshold — lower it so the toy model
+    # actually exercises the sharded layouts.
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                     grad_accum=accum, device_mesh=mesh, policy=POLICY_F32,
+                     grad_checkpoint=False, fsdp=True, fsdp_min_size=1024)
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+    metrics = None
+    for _ in range(n):
+        state, metrics = task.train_step(state, batch)
+    return state, metrics
+
+
+def test_fsdp_matches_data_parallel(rng):
+    """ZeRO sharding is a pure layout change: same losses/params as DP."""
+    batch = make_batch(rng)
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+    state_dp, m_dp = _run_steps(mesh, False, batch)
+    state_fs, m_fs = _run_steps_fsdp(mesh, batch)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_fs["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_dp.params),
+                    jax.tree.leaves(state_fs.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fsdp_matches_dp_with_grad_accum(rng):
+    """The per-microbatch reduce-scatter constraint (depth_task.micro)
+    keeps grad-accum numerics identical to the replicated scan."""
+    batch = make_batch(rng, accum=2, mb=8)
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+    state_dp, m_dp = _run_steps(mesh, False, batch, n=1)
+    state_fs, m_fs = _run_steps_fsdp(mesh, batch, n=1, accum=2)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_fs["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_dp.params),
+                    jax.tree.leaves(state_fs.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fsdp_shards_params_and_moments(rng):
+    """Large params AND their Adam moments land sharded over 'data';
+    small leaves (under the min-size threshold) stay replicated."""
+    min_size = 1024
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=4,
+                     grad_accum=1, device_mesh=mesh, policy=POLICY_F32,
+                     grad_checkpoint=False, fsdp=True,
+                     fsdp_min_size=min_size)
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+    batch = make_batch(rng)
+    state, _ = task.train_step(state, batch)  # out shardings hold too
+
+    qkv = state.params["pretrained"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "data" in str(qkv.sharding.spec), qkv.sharding.spec
+    n_sharded_params = sum(
+        1 for leaf in jax.tree.leaves(state.params)
+        if "data" in str(leaf.sharding.spec))
+    assert n_sharded_params >= 12 * 4  # every block's big matmuls
+
+    small = [leaf for leaf in jax.tree.leaves(state.params)
+             if leaf.size < min_size]
+    assert small and all(leaf.sharding.spec == jax.sharding.PartitionSpec()
+                         for leaf in small)
+
+    n_sharded_moments = sum(
+        1 for leaf in jax.tree.leaves(state.opt_state)
+        if hasattr(leaf, "sharding") and "data" in str(leaf.sharding.spec))
+    assert n_sharded_moments >= 2 * n_sharded_params  # mu and nu
+
+
+def test_fsdp_checkpoint_roundtrip(tmp_path, rng):
+    """Orbax saves/restores the data-axis-sharded state losslessly."""
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                     grad_accum=1, device_mesh=mesh, policy=POLICY_F32,
+                     grad_checkpoint=False, fsdp=True, fsdp_min_size=1024)
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+    batch = make_batch(rng)
+    state, _ = task.train_step(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
+    mgr.save(int(state.step), state, {"val_loss": 1.0})
+    template = task.init_state(jax.random.PRNGKey(1), (56, 56))
+    restored = mgr.restore_best(template)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    qkv = restored.params["pretrained"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "data" in str(qkv.sharding.spec)
+    mgr.close()
+
+
 def test_early_stopping():
     stopper = EarlyStopping(patience=2)
     values = [1.0, 0.9, 0.95, 0.95, 0.95]
