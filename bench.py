@@ -35,8 +35,41 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def wait_for_backend(attempts: int = 10, probe_timeout: int = 90,
+                     sleep_s: int = 60) -> None:
+    """Wait out transient axon-tunnel outages before first jax use.
+
+    The shared-host TPU tunnel occasionally reports UNAVAILABLE (or hangs)
+    for minutes; a failed in-process backend init is cached by jax for the
+    process lifetime, so probe with short-lived subprocesses and only
+    return once one sees the device (or attempts run out — then proceed
+    and let the real error surface).
+    """
+    import subprocess
+
+    probe = ("import jax; assert jax.devices(), 'no devices'; "
+             "print(jax.default_backend())")
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=probe_timeout, env=os.environ.copy())
+            if out.returncode == 0:
+                if i:
+                    log(f"backend probe ok after {i} retries")
+                return
+            log(f"backend probe {i + 1}/{attempts} failed "
+                f"(rc={out.returncode}); retrying in {sleep_s}s")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe {i + 1}/{attempts} hung "
+                f">{probe_timeout}s; retrying in {sleep_s}s")
+        time.sleep(sleep_s)
+    log("backend probes exhausted; attempting in-process init anyway")
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    wait_for_backend()
     from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.core.debug import (  # noqa: E501
         enable_compilation_cache,
     )
