@@ -136,9 +136,12 @@ def main() -> None:
     # batch 8, so a bs8 number keeps cross-round comparisons
     # apples-to-apples (the bs64 headline mixes kernel wins with the
     # batch-size change).
-    fps_bs8 = measure_infer(8) if (
-        batch != 8 and os.environ.get("E3D_BENCH_BS8_DIAG", "1") == "1"
-    ) else fps
+    if batch == 8:
+        fps_bs8 = fps
+    elif os.environ.get("E3D_BENCH_BS8_DIAG", "1") == "1":
+        fps_bs8 = measure_infer(8)
+    else:
+        fps_bs8 = None  # not measured — don't pass bs-N off as same-batch
     # Opt-in speed-dial diagnostic (NOT the headline — that stays the
     # default parity configuration): dynamic-int8 at its best batch.
     fps_int8_bs8 = measure_infer(8, model_int8) if (
@@ -159,9 +162,10 @@ def main() -> None:
               encoding="utf-8") as f:
         diag = {"metric": "depth_vitl518_infer_fps_per_chip",
                 "bs64_fps": round(fps, 3),
-                "bs8_fps": round(fps_bs8, 3),
-                "baseline_fps_bs8": round(baseline, 3),
-                "vs_baseline_same_batch": round(fps_bs8 / baseline, 4)}
+                "baseline_fps_bs8": round(baseline, 3)}
+        if fps_bs8 is not None:
+            diag["bs8_fps"] = round(fps_bs8, 3)
+            diag["vs_baseline_same_batch"] = round(fps_bs8 / baseline, 4)
         if fps_int8_bs8 is not None:
             diag["int8_bs8_fps"] = round(fps_int8_bs8, 3)
         json.dump(diag, f)

@@ -75,13 +75,21 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         h, w, c = img.shape
     else:
         raise ValueError(f"expected (H,W) or (H,W,{{1,3}}), got {img.shape}")
+    # High-entropy content can exceed 1 B/px entropy-coded (worst-case
+    # baseline JPEG is a few B/px with byte stuffing): grow on the
+    # buffer-too-small rc instead of failing a legitimate encode.
     cap = img.nbytes + (1 << 16)
-    out = ctypes.create_string_buffer(cap)
-    n = _jpeg_lib().e3d_jpeg_encode(
-        img.ctypes.data_as(ctypes.c_void_p), h, w, c, int(quality), out, cap)
-    if n < 0:
-        raise ValueError(f"JPEG encode failed ({n})")
-    return out.raw[:n]
+    for _ in range(4):
+        out = ctypes.create_string_buffer(cap)
+        n = _jpeg_lib().e3d_jpeg_encode(
+            img.ctypes.data_as(ctypes.c_void_p), h, w, c, int(quality),
+            out, cap)
+        if n >= 0:
+            return out.raw[:n]
+        if n != -2:  # not "output buffer full"
+            break
+        cap *= 4
+    raise ValueError(f"JPEG encode failed ({n})")
 
 
 # ----------------------------- containers -----------------------------------
@@ -195,15 +203,23 @@ class _Writer:
             raise OSError(f"cannot open for writing: {path}")
 
     def write_jpeg(self, data: bytes):
-        self._frame(self._h, data, len(data))
+        rc = self._frame(self._h, data, len(data))
+        if rc == -2:
+            raise OSError("frame would exceed the 4 GiB classic-RIFF "
+                          "limit; write MP4 (64-bit offsets) instead")
+        if rc != 0:
+            raise OSError(f"frame write failed ({rc}): disk full/IO error")
 
     def write_rgb(self, img: np.ndarray, quality: int = 90):
         self.write_jpeg(encode_jpeg(img, quality))
 
     def close(self):
         if self._h:
-            self._close(self._h)
+            rc = self._close(self._h)
             self._h = None
+            if rc != 0:
+                raise OSError(f"container finalize failed ({rc}); "
+                              "output file is incomplete")
 
     def __enter__(self):
         return self

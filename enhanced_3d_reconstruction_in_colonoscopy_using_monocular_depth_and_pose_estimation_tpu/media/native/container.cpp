@@ -421,6 +421,10 @@ struct BoxBuf {
     u16(v >> 16);
     u16(v);
   }
+  void u64(uint64_t v) {
+    u32(static_cast<uint32_t>(v >> 32));
+    u32(static_cast<uint32_t>(v));
+  }
   void tag(const char* t) { d.insert(d.end(), t, t + 4); }
   void raw(const void* p, size_t n) {
     const uint8_t* q = static_cast<const uint8_t*>(p);
@@ -525,13 +529,20 @@ void* e3d_avi_writer_open(const char* path, int w, int h, int fps_num,
 
 int e3d_avi_writer_frame(void* h, const uint8_t* jpeg, long len) {
   AviWriter* a = static_cast<AviWriter*>(h);
-  a->offs.push_back(static_cast<uint64_t>(ftello(a->f)));
+  uint64_t at = static_cast<uint64_t>(ftello(a->f));
+  // This writer emits a single classic RIFF (no AVIX continuation
+  // lists); refuse frames that would push the RIFF size or idx1 offsets
+  // past 32 bits instead of writing a silently corrupt file.
+  if (at + static_cast<uint64_t>(len) + 16ull * (a->sizes.size() + 1) + 64 >
+      0xFFFFFFF0ull)
+    return -2;
+  a->offs.push_back(at);
   fwrite("00dc", 1, 4, a->f);
   wr_u32le(a->f, static_cast<uint32_t>(len));
   fwrite(jpeg, 1, static_cast<size_t>(len), a->f);
   if (len & 1) fputc(0, a->f);  // word alignment
   a->sizes.push_back(static_cast<uint32_t>(len));
-  return 0;
+  return ferror(a->f) ? -1 : 0;
 }
 
 int e3d_avi_writer_close(void* h) {
@@ -553,7 +564,8 @@ int e3d_avi_writer_close(void* h) {
   uint32_t movi_size = static_cast<uint32_t>(movi_end - a->movi_start + 4);
   avi_write_headers(a, static_cast<uint32_t>(a->sizes.size()), maxsz,
                     movi_size);
-  int rc = fclose(a->f) ? -1 : 0;
+  int bad = ferror(a->f);
+  int rc = (fclose(a->f) || bad) ? -1 : 0;
   delete a;
   return rc;
 }
@@ -576,10 +588,14 @@ void* e3d_mp4_writer_open(const char* path, int w, int h, int fps_num,
   fwrite("isom", 1, 4, f);
   wr_u32be(f, 512);
   fwrite("isom", 1, 4, f);
-  // mdat with placeholder size
+  // mdat in the 64-bit form (size=1 + largesize): >4 GiB MJPEG remuxes
+  // are legal input (the AVI reader handles OpenDML AVIX), so the output
+  // must not wrap; the largesize is patched on close.
   m->mdat_size_pos = static_cast<uint64_t>(ftello(f));
-  wr_u32be(f, 8);
+  wr_u32be(f, 1);
   fwrite("mdat", 1, 4, f);
+  wr_u32be(f, 0);  // largesize placeholder (hi)
+  wr_u32be(f, 16);  // largesize placeholder (lo)
   return m;
 }
 
@@ -588,7 +604,9 @@ int e3d_mp4_writer_frame(void* h, const uint8_t* jpeg, long len) {
   m->offs.push_back(static_cast<uint64_t>(ftello(m->f)));
   fwrite(jpeg, 1, static_cast<size_t>(len), m->f);
   m->sizes.push_back(static_cast<uint32_t>(len));
-  return 0;
+  // fwrite failures (disk full, EIO) latch the stream error flag; report
+  // them here so the muxer never records sizes for bytes never written.
+  return ferror(m->f) ? -1 : 0;
 }
 
 int e3d_mp4_writer_close(void* h) {
@@ -734,10 +752,20 @@ int e3d_mp4_writer_close(void* h) {
             for (uint32_t s : m->sizes) b.u32(s);
             b.end(stsz);
 
-            size_t stco = b.begin("stco");
+            // 64-bit chunk offsets whenever any sample sits past 4 GiB
+            // (stco would silently truncate); readers that handle AVIX
+            // input all read co64.
+            bool need64 =
+                !m->offs.empty() && m->offs.back() > 0xFFFFFFFFull;
+            size_t stco = b.begin(need64 ? "co64" : "stco");
             b.u32(0);
             b.u32(n);
-            for (uint64_t o : m->offs) b.u32(static_cast<uint32_t>(o));
+            for (uint64_t o : m->offs) {
+              if (need64)
+                b.u64(o);
+              else
+                b.u32(static_cast<uint32_t>(o));
+            }
             b.end(stco);
           }
           b.end(stbl);
@@ -750,10 +778,13 @@ int e3d_mp4_writer_close(void* h) {
   }
   b.end(moov);
   fwrite(b.d.data(), 1, b.d.size(), f);
-  // Patch mdat size.
-  fseeko(f, static_cast<off_t>(m->mdat_size_pos), SEEK_SET);
-  wr_u32be(f, static_cast<uint32_t>(mdat_end - m->mdat_size_pos));
-  int rc = fclose(f) ? -1 : 0;
+  // Patch the mdat largesize (64-bit; header is size=1 + fourcc + u64).
+  fseeko(f, static_cast<off_t>(m->mdat_size_pos + 8), SEEK_SET);
+  uint64_t mdat_size = mdat_end - m->mdat_size_pos;
+  wr_u32be(f, static_cast<uint32_t>(mdat_size >> 32));
+  wr_u32be(f, static_cast<uint32_t>(mdat_size));
+  int bad = ferror(f);
+  int rc = (fclose(f) || bad) ? -1 : 0;
   delete m;
   return rc;
 }

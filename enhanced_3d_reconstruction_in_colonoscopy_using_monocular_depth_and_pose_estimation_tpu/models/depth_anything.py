@@ -11,6 +11,7 @@ ImageNet normalization, forward, bilinear resize back to the input size).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -64,8 +65,6 @@ class DepthAnythingV2(nn.Module):
     def __call__(self, img: Array) -> Array:
         b, h, w, _ = img.shape
         ph, pw = h // PATCH_SIZE, w // PATCH_SIZE
-        import os
-
         taps = DinoViT(self.encoder, self.dtype, self.grad_checkpoint,
                        self.token_merge, self.quant_int8,
                        name="pretrained")(img)
@@ -231,7 +230,12 @@ class _ModelThunk:
         self._key = (model.encoder, model.features, tuple(model.out_channels),
                      float(model.max_depth), str(model.dtype),
                      model.grad_checkpoint, float(model.token_merge),
-                     model.quant_int8)
+                     model.quant_int8,
+                     # Trace-time int8 env knobs (read in dinov2.Block /
+                     # ops/quant.py): flipping them between calls must not
+                     # reuse a program traced under the old scope.
+                     os.environ.get("E3D_QUANT_SCOPE", "auto"),
+                     os.environ.get("E3D_QUANT_DPT", "1"))
 
     def __call__(self) -> DepthAnythingV2:
         return self._model

@@ -146,11 +146,34 @@ def local_rows(arr: jax.Array) -> np.ndarray:
     Multi-process: concatenates the addressable shards in global row
     order, i.e. exactly the rows this process's loader contributed — used
     by the per-sample test collector to key metrics to local sample ids.
+    Shards replicated along the batch dim (``index[0] == slice(None)``,
+    e.g. a trailing batch the loader replicated) and duplicates from
+    model-axis replication (mesh_model > 1 puts the same rows on several
+    devices) are deduplicated by row range, not concatenated twice.
     """
     if arr.is_fully_addressable:
         return np.asarray(arr)
-    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return _concat_local_shards(arr.addressable_shards)
+
+
+def _concat_local_shards(shards) -> np.ndarray:
+    """Row-order concat of addressable shards, deduplicated.
+
+    Each shard needs ``.index`` (tuple of slices into the global array)
+    and ``.data``. Handles the two replication layouts ``local_rows``
+    meets in practice: a batch-dim-replicated array (``index[0] ==
+    slice(None)``, e.g. a trailing batch the loader replicated) returns
+    one shard's data; model-axis replication (mesh_model > 1 puts the
+    same rows on several devices) is deduplicated by row start instead
+    of concatenated twice."""
+    by_start: dict[int, Any] = {}
+    for s in shards:
+        start = s.index[0].start if s.index else None
+        if start is None:  # batch dim replicated: any one shard has it all
+            return np.asarray(s.data)
+        by_start.setdefault(start, s)
+    return np.concatenate(
+        [np.asarray(by_start[k].data) for k in sorted(by_start)], axis=0)
 
 
 # Tensor-parallel rules for ViT parameters, matched against the flattened

@@ -100,15 +100,22 @@ def _solve_poisson(field: Array, grid: int,
     return _solve_poisson_from_div(div, grid, smooth_sigma)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _active_cell_bits(chi: Array, grid: int, iso: Array) -> Array:
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _active_cell_bits(chi: Array, grid: int, iso: Array,
+                      round_f16: bool = False) -> Array:
     """Per-cell iso-straddle mask, bit-packed along z.
 
     A cell is active iff min(corners) < iso <= max(corners) — exactly the
-    dense mesher's any_lo/any_hi skip test. Returns
+    dense mesher's any_lo/any_hi skip test. ``round_f16`` applies f16
+    rounding to ``chi`` first so the mask agrees with the f16 corner
+    values the mesher interpolates (a cell that only straddles iso after
+    rounding must not be skipped, or its visited neighbor emits boundary
+    triangles with no complement — a crack). Returns
     (grid-1, grid-1, ceil((grid-1)/8)) uint8, unpackable with
     ``np.unpackbits`` (big-endian bit order).
     """
+    if round_f16:
+        chi = chi.astype(jnp.float16).astype(jnp.float32)
     cmin = jnp.minimum(chi[:-1], chi[1:])
     cmax = jnp.maximum(chi[:-1], chi[1:])
     cmin = jnp.minimum(cmin[:, :-1], cmin[:, 1:])
@@ -250,7 +257,8 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
         # only those cells instead of all 134M.
         from .native import marching_tetrahedra_cells
 
-        packed = np.asarray(_active_cell_bits(chi, grid, jnp.float32(iso)))
+        packed = np.asarray(_active_cell_bits(chi, grid, jnp.float32(iso),
+                                              round_f16=f16))
         mark("active-mask readback")
         act = np.unpackbits(packed, axis=-1)[:, :, :grid - 1]
         ix, iy, iz = np.nonzero(act)

@@ -146,16 +146,20 @@ class DepthTask:
         param_sh = meshlib.param_shardings(self.mesh, state.params,
                                            self.tensor_parallel, self.fsdp,
                                            self.fsdp_min_size)
-
-        def opt_sh(leaf):
-            if self.fsdp and hasattr(leaf, "shape"):
-                return meshlib.fsdp_sharding(self.mesh, leaf.shape,
-                                             self.fsdp_min_size)
-            return meshlib.replicated_sharding(self.mesh)
-
-        opt_state_sh = jax.tree.map(opt_sh, state.opt_state)
-        return DepthTrainState(param_sh, opt_state_sh,
-                               meshlib.replicated_sharding(self.mesh))
+        rep = meshlib.replicated_sharding(self.mesh)
+        if self.fsdp:
+            # The Adam moments mirror the param tree — give them the
+            # params' exact composed (TP + FSDP) layout, so fsdp and
+            # tensor_parallel together don't pin moments to a spec that
+            # conflicts with the params'. Non-param leaves (step counts,
+            # schedule state) stay replicated.
+            opt_state_sh = optax.tree_map_params(
+                self._optimizer, lambda _, sh: sh, state.opt_state,
+                param_sh, transform_non_params=lambda _: rep,
+                is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+        else:
+            opt_state_sh = jax.tree.map(lambda _: rep, state.opt_state)
+        return DepthTrainState(param_sh, opt_state_sh, rep)
 
     def lr_table(self) -> dict[str, Any]:
         """Per-step LR values for both groups (LearningRateMonitor parity,
@@ -200,6 +204,9 @@ class DepthTask:
             """
             accum = batch["image"].shape[0]
             mb = batch["image"].shape[1]
+            grad_sh = (meshlib.param_shardings(
+                self.mesh, state.params, self.tensor_parallel, True,
+                self.fsdp_min_size) if self.fsdp else None)
 
             def micro(carry, xs):
                 grads_acc, loss_acc, met_acc = carry
@@ -212,14 +219,12 @@ class DepthTask:
                     grads_acc, grads)
                 if self.fsdp:
                     # ZeRO-2: pin the accumulated grads to the params'
-                    # data-axis layout so GSPMD reduce-scatters each
-                    # microbatch's grads instead of carrying the full
+                    # composed (TP + FSDP) layout so GSPMD reduce-scatters
+                    # each microbatch's grads instead of carrying the full
                     # tree replicated through the scan.
                     grads_acc = jax.tree.map(
-                        lambda a, p: jax.lax.with_sharding_constraint(
-                            a, meshlib.fsdp_sharding(self.mesh, p.shape,
-                                                     self.fsdp_min_size)),
-                        grads_acc, state.params)
+                        jax.lax.with_sharding_constraint,
+                        grads_acc, grad_sh)
                 met_acc = jax.tree.map(lambda a, m: a + m * wi,
                                        met_acc, metrics)
                 return (grads_acc, loss_acc + loss * wi, met_acc), None

@@ -107,6 +107,36 @@ def test_shard_batch_spreads_batch_over_data_axis():
                                   batch["image"])
 
 
+def test_local_shard_concat_dedups_replication():
+    """Multi-process shard assembly: batch-replicated shards (trailing
+    batch) must not raise on the ``slice(None)`` sort key, and
+    model-axis duplicates (mesh_model > 1) must not double rows."""
+    from collections import namedtuple
+
+    from e3d_tpu.parallel.mesh import _concat_local_shards
+
+    Shard = namedtuple("Shard", ["index", "data"])
+    r0, r1 = np.arange(8).reshape(2, 4), 10 + np.arange(8).reshape(2, 4)
+
+    # model-axis replication: same row ranges appear once per model rank
+    dup = [Shard((slice(2, 4), slice(None)), r1),
+           Shard((slice(0, 2), slice(None)), r0),
+           Shard((slice(0, 2), slice(None)), r0),
+           Shard((slice(2, 4), slice(None)), r1)]
+    np.testing.assert_array_equal(_concat_local_shards(dup),
+                                  np.concatenate([r0, r1]))
+
+    # batch dim replicated: every shard already holds all rows
+    rep = [Shard((slice(None), slice(None)), r0),
+           Shard((slice(None), slice(None)), r0)]
+    np.testing.assert_array_equal(_concat_local_shards(rep), r0)
+
+    # 0-d / empty index: whole-array shard
+    np.testing.assert_array_equal(
+        _concat_local_shards([Shard((), np.float32(3.0))]),
+        np.float32(3.0))
+
+
 def test_shard_batch_leading_stack_and_force_replicated():
     mesh = build_mesh(MeshSpec(data=8, model=1))
     x = {"image": np.ones((3, 16, 4, 4, 3), np.float32)}
