@@ -158,6 +158,46 @@ def test_fsdp_shards_params_and_moments(rng):
     assert n_sharded_moments >= 2 * n_sharded_params  # mu and nu
 
 
+def test_fsdp_composes_with_tp(rng):
+    """fsdp=True + tensor_parallel=True: params take BOTH axes and the
+    Adam moments take exactly the params' composed layout (a base=P()
+    fsdp_spec would pin moments/grads to a conflicting spec — regression
+    for the round-3 self-review finding)."""
+    import optax
+
+    mesh = build_mesh(MeshSpec(data=4, model=2))
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=4,
+                     grad_accum=2, device_mesh=mesh, policy=POLICY_F32,
+                     grad_checkpoint=False, tensor_parallel=True,
+                     fsdp=True, fsdp_min_size=1024)
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+
+    qkv = state.params["pretrained"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    spec = str(qkv.sharding.spec)
+    assert "model" in spec and "data" in spec, spec  # both axes
+
+    # Every param-shaped moment leaf must share its param's sharding.
+    param_sh = jax.tree.map(lambda p: p.sharding, state.params)
+    checked = []
+
+    def _check(moment, sh):
+        if hasattr(moment, "sharding"):
+            assert moment.sharding == sh, (moment.sharding, sh)
+            checked.append(1)
+        return moment
+
+    optax.tree_map_params(task._optimizer, _check, state.opt_state,
+                          param_sh,
+                          is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+    assert len(checked) >= 100  # mu+nu over the whole vitt tree
+
+    # And a grad-accum step still runs (GSPMD accepts the composed
+    # layouts, incl. the with_sharding_constraint on the scan carry).
+    batch = make_batch(rng, accum=2)
+    state2, metrics = task.train_step(state, batch)
+    assert jnp.isfinite(metrics["loss"])
+
+
 def test_fsdp_checkpoint_roundtrip(tmp_path, rng):
     """Orbax saves/restores the data-axis-sharded state losslessly."""
     mesh = build_mesh(MeshSpec(data=8, model=1))
