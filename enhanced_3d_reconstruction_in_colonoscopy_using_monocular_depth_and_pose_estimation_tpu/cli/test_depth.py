@@ -131,13 +131,31 @@ def main(argv: list[str] | None = None) -> None:
                                      force_replicated=replicated)
         prepped = pre(jbatch, train=False, max_depths=max_depths)
         sample_metrics = task.eval_step_per_sample(params, prepped)
-        # local_rows: this process's rows of the sharded (B,) metric
-        # arrays — they line up with the locally-loaded sample ids.
-        sample_metrics = {k: meshlib.local_rows(v) for k, v in
-                          sample_metrics.items()}
+        # Exactly-once row coverage across processes: gather the tiny
+        # (B,) metric vectors to every host (sharding-agnostic), then
+        # slice this process's deterministic global row range — the
+        # loader's contiguous partition for loader-sharded batches, an
+        # even contiguous split for a replicated trailing batch (where
+        # every process decoded ALL rows and holds full metadata).
+        sample_metrics = {k: meshlib.gather_rows(v)
+                          for k, v in sample_metrics.items()}
+        nb = len(next(iter(sample_metrics.values())))
+        pid, pc = jax.process_index(), jax.process_count()
+        meta = list(batch["dataset"])
         sources = (np.asarray(batch["source"]).astype(int)
                    if combined and "source" in batch else None)
-        for i, ds_field in enumerate(batch["dataset"]):
+        if pc > 1:
+            if replicated:
+                lo, hi = pid * nb // pc, (pid + 1) * nb // pc
+                meta = meta[lo:hi]
+                if sources is not None:
+                    sources = sources[lo:hi]
+            else:  # loader gave this process rows [lo, hi) of the batch
+                lo = pid * (nb // pc)
+                hi = lo + len(meta)
+            sample_metrics = {k: v[lo:hi]
+                              for k, v in sample_metrics.items()}
+        for i, ds_field in enumerate(meta):
             proc = parse_procedure(str(ds_field))
             bucket = per_proc.setdefault(
                 proc, {k: [] for k in METRIC_KEYS})

@@ -156,6 +156,21 @@ def local_rows(arr: jax.Array) -> np.ndarray:
     return _concat_local_shards(arr.addressable_shards)
 
 
+def gather_rows(arr: jax.Array) -> np.ndarray:
+    """Full host copy of a (possibly cross-process-sharded) array.
+
+    For the small (B,) per-sample metric vectors: every process gets all
+    rows regardless of the output sharding GSPMD picked, and the caller
+    slices its own deterministic global row range (exactly-once
+    coverage; see ``cli/test_depth.py``). Collective when multi-process
+    — every process must call it on the same arrays in the same order."""
+    if arr.is_fully_addressable:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def _concat_local_shards(shards) -> np.ndarray:
     """Row-order concat of addressable shards, deduplicated.
 

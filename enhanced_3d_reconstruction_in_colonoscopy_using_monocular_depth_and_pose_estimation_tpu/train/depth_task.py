@@ -374,6 +374,13 @@ class DepthTask:
         Note: the reference appends the same *batch-level* metric once per
         sample (``test_lightning.py:73-109``, a known artifact); this
         computes true per-sample values.
+
+        Output sharding is left to GSPMD (pinning P(data) would forbid
+        trailing batches not divisible by the axis); multi-process
+        consumers read the tiny (B,) outputs back with
+        ``mesh.gather_rows`` and slice their own deterministic global row
+        range (``cli/test_depth.py``), so coverage is exactly-once
+        regardless of what sharding the compiler picks.
         """
         if not hasattr(self, "_eval_per_sample"):
             def step_fn(params, batch):

@@ -76,6 +76,29 @@ def main() -> None:
     out = {"pid": pid, "nprocs": nprocs,
            "eval_loss": float(metrics["loss"]),
            "step": int(np.asarray(state.step))}
+
+    # gather_rows in the REAL multi-process regime (test_depth's
+    # per-sample collector path): the tiny (B,) metric vectors gather to
+    # every host regardless of GSPMD's output sharding (round-3
+    # self-review regression: local_rows on a replicated output raised /
+    # duplicated coverage), and the consumer slices its own global row
+    # range — validated here by checking the gathered values line up
+    # with THIS process's locally-loaded sample rows.
+    from e3d_tpu.parallel.mesh import gather_rows
+
+    b2 = next(iter(PrefetchLoader(dm.val_dataset, 4, num_threads=2,
+                                  process_index=pid,
+                                  process_count=nprocs)))
+    sm = task.eval_step_per_sample(
+        state.params, pre(shard_batch(task.mesh, b2), train=False))
+    l1 = gather_rows(sm["l1"])
+    out["gathered_n"] = int(l1.shape[0])
+    n_local = int(b2["image"].shape[0])
+    lo = pid * (l1.shape[0] // nprocs)
+    out["local_slice"] = [float(x) for x in l1[lo:lo + n_local]]
+    sm_rep = task.eval_step_per_sample(
+        state.params, pre(jbatch, train=False))
+    out["replicated_gathered_n"] = int(gather_rows(sm_rep["l1"]).shape[0])
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(out, f)
     print(f"[mp_worker {pid}/{nprocs}] {out}", flush=True)

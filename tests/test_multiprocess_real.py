@@ -73,3 +73,13 @@ def test_two_process_training_matches_single(tmp_path_factory, tmp_path):
     # process-count invariant.
     np.testing.assert_allclose(dual[0]["eval_loss"],
                                single[0]["eval_loss"], rtol=1e-4)
+    # Per-sample collector reads (test_depth path): gather_rows returns
+    # the full (B,) metric vector on every process regardless of output
+    # sharding, and each process's deterministic contiguous slice lines
+    # up with its locally-loaded rows — the two slices partition the
+    # batch and (state being identical) concatenate to the
+    # single-process values. Exactly-once coverage, correct alignment.
+    assert all(r["gathered_n"] == 4 and r["replicated_gathered_n"] == 4
+               for r in [*single, *dual])
+    assert single[0]["local_slice"] == pytest.approx(
+        dual[0]["local_slice"] + dual[1]["local_slice"], rel=1e-4)
