@@ -35,7 +35,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def wait_for_backend(attempts: int = 10, probe_timeout: int = 90,
+def wait_for_backend(attempts: int | None = None, probe_timeout: int = 90,
                      sleep_s: int = 60) -> None:
     """Wait out transient axon-tunnel outages before first jax use.
 
@@ -47,6 +47,10 @@ def wait_for_backend(attempts: int = 10, probe_timeout: int = 90,
     """
     import subprocess
 
+    if attempts is None:
+        # ~40 min of patience by default (outages of 1h+ observed);
+        # E3D_BENCH_WAIT_ATTEMPTS=0 skips the wait entirely.
+        attempts = int(os.environ.get("E3D_BENCH_WAIT_ATTEMPTS", "16"))
     probe = ("import jax; assert jax.devices(), 'no devices'; "
              "print(jax.default_backend())")
     for i in range(attempts):
