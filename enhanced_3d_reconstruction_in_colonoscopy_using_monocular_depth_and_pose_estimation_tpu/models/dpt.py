@@ -216,8 +216,9 @@ class DPTHead(nn.Module):
         for i, (tokens, _cls) in enumerate(taps):
             b, n, c = tokens.shape
             x = tokens.reshape(b, patch_h, patch_w, c)
-            x = nn.Conv(self.out_channels[i], (1, 1), dtype=self.dtype,
-                        param_dtype=jnp.float32, name=f"project_{i}")(x)
+            x = QConv(self.out_channels[i], (1, 1), padding=0,
+                      dtype=self.dtype, quant=self.quant,
+                      name=f"project_{i}")(x)
             if i == 0:
                 x = PixelExpand(self.out_channels[0], 4, self.dtype,
                                 name="resize_0")(x)
@@ -225,9 +226,9 @@ class DPTHead(nn.Module):
                 x = PixelExpand(self.out_channels[1], 2, self.dtype,
                                 name="resize_1")(x)
             elif i == 3:
-                x = nn.Conv(self.out_channels[3], (3, 3), strides=(2, 2),
-                            padding=1, dtype=self.dtype,
-                            param_dtype=jnp.float32, name="resize_3")(x)
+                x = QConv(self.out_channels[3], (3, 3), strides=(2, 2),
+                          dtype=self.dtype, quant=self.quant,
+                          name="resize_3")(x)
             outs.append(x)
 
         rn = []
