@@ -141,7 +141,10 @@ def marching_tetrahedra_cells(cell_ids: np.ndarray,
     _, ny, nz = grid_shape
     cell_ids = np.ascontiguousarray(cell_ids, np.int32)
     corner_vals = np.ascontiguousarray(corner_vals, np.float32)
-    assert corner_vals.shape == (len(cell_ids), 8)
+    if corner_vals.shape != (len(cell_ids), 8):
+        # raw-pointer boundary: a bare assert vanishes under python -O
+        raise ValueError(f"corner_vals must be ({len(cell_ids)}, 8), "
+                         f"got {corner_vals.shape}")
     origin = np.ascontiguousarray(origin, np.float32)
     verts_p = ctypes.POINTER(ctypes.c_float)()
     tris_p = ctypes.POINTER(ctypes.c_int32)()

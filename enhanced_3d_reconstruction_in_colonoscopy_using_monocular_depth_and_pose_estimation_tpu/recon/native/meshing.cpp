@@ -234,7 +234,10 @@ struct EdgeMap {
 
   // Returns the value slot for key; *found tells whether it existed.
   int32_t* probe(uint64_t key, bool* found) {
-    if (count_ * 4 >= (mask_ + 1) * 3) reserve((mask_ + 1));
+    // keys_.empty() covers a default-constructed map (mask_ == 0 would
+    // otherwise index into an empty vector below).
+    if (keys_.empty() || count_ * 4 >= (mask_ + 1) * 3)
+      reserve(mask_ + 1);
     size_t i = mix(key) & mask_;
     while (true) {
       if (keys_[i] == key) {
@@ -463,7 +466,7 @@ int merge_and_export(std::vector<Mesh>& chunks, float** out_verts,
       }
     }
     for (int32_t t : m.tris) tris.push_back(remap[t]);
-    Mesh().verts.swap(m.verts);  // free as we go
+    std::vector<float>().swap(m.verts);  // free as we go
   }
 
   *out_n_verts = static_cast<int64_t>(verts.size() / 3);

@@ -92,12 +92,6 @@ def _solve_poisson_from_div(div: Array, grid: int,
     return jnp.fft.irfftn(chi_hat, s=(grid, grid, grid))
 
 
-def _solve_poisson(field: Array, grid: int,
-                   smooth_sigma: float = 1.5) -> Array:
-    """chi from the normal field: real-space divergence + spectral solve
-    (two jit calls so the vector field frees before the FFT runs)."""
-    div = _divergence(field, grid)
-    return _solve_poisson_from_div(div, grid, smooth_sigma)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3))
@@ -262,6 +256,13 @@ def poisson_mesh(points: np.ndarray, normals: np.ndarray,
         mark("active-mask readback")
         act = np.unpackbits(packed, axis=-1)[:, :, :grid - 1]
         ix, iy, iz = np.nonzero(act)
+        if grid ** 3 > np.iinfo(np.int32).max:
+            # int32 flat cell ids (and the mesher's 64-bit packed edge
+            # keys) top out at grid 1290 / depth 10; wrap-around would
+            # produce a silently garbage mesh.
+            raise ValueError(
+                f"grid {grid} overflows the sparse mesher's int32 cell "
+                "ids; use grid_depth <= 10")
         cell_ids = ((ix.astype(np.int64) * grid + iy) * grid
                     + iz).astype(np.int32)
         mark("host cell decode")

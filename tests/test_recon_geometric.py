@@ -109,3 +109,27 @@ def test_sparse_marching_matches_dense(monkeypatch):
     order_d = np.lexsort(vd.T)
     order_t = np.lexsort(vt.T)
     np.testing.assert_allclose(vt[order_t], vd[order_d], atol=1e-6)
+
+
+def test_sparse_matches_dense_f16_readback(monkeypatch):
+    """The PRODUCTION default is f16 readback: the sparse mask must be
+    computed on f16-rounded chi (round_f16) so it agrees with the f16
+    corner values the mesher interpolates — a cell that only straddles
+    iso after rounding must be visited, or its meshed neighbor leaves a
+    crack. Dense-f16 and sparse-f16 walk the same cells single-threaded,
+    so the welded output is bitwise identical."""
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=(20000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    points = v.astype(np.float32)
+    normals = v.astype(np.float32)
+
+    monkeypatch.setenv("E3D_MESH_THREADS", "1")
+    monkeypatch.setenv("E3D_POISSON_READBACK", "f16")
+    monkeypatch.setenv("E3D_POISSON_SPARSE", "0")
+    vd, td = poisson_mesh(points, normals, grid_depth=6)
+    monkeypatch.setenv("E3D_POISSON_SPARSE", "1")
+    vs, ts = poisson_mesh(points, normals, grid_depth=6)
+    np.testing.assert_array_equal(vs, vd)
+    np.testing.assert_array_equal(ts, td)
+    assert len(vd) > 1000
