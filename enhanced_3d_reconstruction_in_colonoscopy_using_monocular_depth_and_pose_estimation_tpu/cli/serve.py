@@ -59,6 +59,7 @@ def main(argv=None) -> None:
     os.makedirs(args.outdir, exist_ok=True)
     processed: set[str] = set()
     stem_owner: dict[str, str] = {}  # guard a.png / a.jpg output collision
+    read_failures: dict[str, int] = {}
 
     def out_paths(path: str):
         stem = os.path.splitext(os.path.basename(path))[0]
@@ -67,37 +68,60 @@ def main(argv=None) -> None:
 
     with DepthServingEngine(model, params, input_size=args.input_size,
                             batch_size=args.batch_size) as engine:
+        # Submit-then-drain in bounded chunks: a large pre-existing
+        # backlog must not be decoded into host memory all at once.
+        chunk = max(1, 4 * args.batch_size)
         while True:
             frames = sorted(
                 f for pattern in ("*.png", "*.jpg", "*.jpeg")
                 for f in glob.glob(os.path.join(args.input, pattern)))
+            current = set(frames)
+            # Deleted inputs drop out of the bookkeeping (a rotating
+            # incoming/ dir stays bounded); already-written outputs keep
+            # re-added inputs skipped via the exists() filter below.
+            processed &= current
+            stem_owner = {s: p for s, p in stem_owner.items()
+                          if p in current}
+            read_failures = {p: n for p, n in read_failures.items()
+                             if p in current}
             fresh = [f for f in frames
                      if f not in processed
                      and not os.path.exists(out_paths(f)[0])]
-            inflight = []
-            for path in fresh:
-                stem = os.path.splitext(os.path.basename(path))[0]
-                owner = stem_owner.setdefault(stem, path)
-                if owner != path:
-                    print(f"[serve] skipping {path}: output stem collides "
-                          f"with {owner}")
+            n_done = 0
+            for start in range(0, len(fresh), chunk):
+                inflight = []
+                for path in fresh[start:start + chunk]:
+                    raw = cv2.imread(path)
+                    if raw is None:
+                        # Possibly a mid-upload partial file: retry a few
+                        # polls, then give up (an unreadable file must not
+                        # claim the output stem or spin forever).
+                        read_failures[path] = read_failures.get(path, 0) + 1
+                        if read_failures[path] >= 3 and not args.once:
+                            print(f"[serve] giving up on unreadable {path}")
+                            processed.add(path)
+                        continue
+                    stem = os.path.splitext(os.path.basename(path))[0]
+                    owner = stem_owner.setdefault(stem, path)
+                    if owner != path:
+                        print(f"[serve] skipping {path}: output stem "
+                              f"collides with {owner}")
+                        processed.add(path)
+                        continue
+                    inflight.append((path, engine.submit(raw)))
                     processed.add(path)
-                    continue
-                raw = cv2.imread(path)
-                if raw is None:
-                    continue
-                inflight.append((path, raw, engine.submit(raw)))
-                processed.add(path)
-            for path, raw, fut in inflight:
-                depth = fut.result()
-                png_path, npy_path = out_paths(path)
-                if args.save_numpy:
-                    np.save(npy_path, depth)
-                cv2.imwrite(png_path,
-                            colorize_depth(depth, grayscale=args.grayscale))
-            if inflight:
-                print(f"[serve] processed {len(inflight)} frames "
-                      f"({len(processed)} total)")
+                for path, fut in inflight:
+                    depth = fut.result()
+                    png_path, npy_path = out_paths(path)
+                    if args.save_numpy:
+                        np.save(npy_path, depth)
+                    cv2.imwrite(png_path,
+                                colorize_depth(depth,
+                                               grayscale=args.grayscale))
+                n_done += len(inflight)
+            if n_done:
+                print(f"[serve] processed {n_done} frames "
+                      f"({len(processed)} tracked)")
             if args.once:
                 break
             time.sleep(args.poll)

@@ -12,6 +12,7 @@ The reference saves top-1 on val_loss via Lightning ``ModelCheckpoint``
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -19,8 +20,20 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
+    """Best-k by the monitored metric PLUS a single ``latest/`` slot.
+
+    The best-k manager garbage-collects every save that is not among the
+    best, so its ``latest_step()`` is really "latest retained BEST" —
+    resuming from it would silently rewind a plateaued run to its best
+    step (and re-train the same segment after every preemption). The
+    ``latest/`` sub-manager keeps exactly the most recent save so
+    ``restore_latest`` is true mid-run resume; its metrics carry the
+    early-stopping state (``es_best``/``es_bad_count``) so patience
+    survives the restart too."""
+
     def __init__(self, directory: str, max_to_keep: int = 1,
-                 monitor: str = "val_loss", mode: str = "min"):
+                 monitor: str = "val_loss", mode: str = "min",
+                 track_latest: bool = True):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
@@ -31,20 +44,64 @@ class CheckpointManager:
         )
         self._monitor = monitor
         self._mgr = ocp.CheckpointManager(directory, options=options)
+        # Nested non-step dirs are ignored by the parent's step scan
+        # (verified against the pinned orbax).
+        self._latest_mgr = ocp.CheckpointManager(
+            os.path.join(directory, "latest"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1,
+                                                 create=True),
+        ) if track_latest else None
+        self._latest_metrics_path = os.path.join(directory, "latest",
+                                                 "metrics.json")
 
     def save(self, step: int, state: Any, metrics: dict[str, float]) -> None:
-        self._mgr.save(
-            int(step),
-            args=ocp.args.StandardSave(state),
-            metrics={k: float(v) for k, v in metrics.items()},
-        )
+        metrics = {k: float(v) for k, v in metrics.items()}
+        self._mgr.save(int(step), args=ocp.args.StandardSave(state),
+                       metrics=metrics)
+        if self._latest_mgr is not None:
+            self._latest_mgr.save(int(step),
+                                  args=ocp.args.StandardSave(state))
+            self._latest_mgr.wait_until_finished()
+            # Orbax only persists per-step metrics under a best_fn (which
+            # would turn the latest slot into another best slot) — keep
+            # the latest save's metrics in a sidecar JSON instead.
+            tmp = self._latest_metrics_path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"step": int(step), **metrics}, f)
+            os.replace(tmp, self._latest_metrics_path)
         self._mgr.wait_until_finished()
 
     def best_step(self) -> int | None:
         return self._mgr.best_step()
 
+    def _latest(self) -> tuple[Any, int] | None:
+        """(owning manager, step) of the newest save across both stores
+        (pre-``latest/`` checkpoint dirs only have the best-k store)."""
+        cands = [(self._mgr, self._mgr.latest_step())]
+        if self._latest_mgr is not None:
+            cands.append((self._latest_mgr, self._latest_mgr.latest_step()))
+        cands = [(m, s) for m, s in cands if s is not None]
+        return max(cands, key=lambda ms: ms[1]) if cands else None
+
     def latest_step(self) -> int | None:
-        return self._mgr.latest_step()
+        owner = self._latest()
+        return None if owner is None else owner[1]
+
+    def latest_metrics(self) -> dict | None:
+        """Metrics recorded with the newest save (e.g. early-stop state)."""
+        owner = self._latest()
+        if owner is None:
+            return None
+        mgr, step = owner
+        try:
+            with open(self._latest_metrics_path, encoding="utf-8") as f:
+                m = json.load(f)
+            if m.get("step") == step:
+                return {k: v for k, v in m.items() if k != "step"}
+        except (OSError, ValueError):
+            pass
+        meta = mgr.metadata(step)  # best-k store keeps metrics natively
+        return dict(meta.metrics) if meta.metrics else None
 
     def restore(self, step: int, template: Any) -> Any:
         return self._mgr.restore(step,
@@ -55,18 +112,26 @@ class CheckpointManager:
         return None if step is None else self.restore(step, template)
 
     def restore_latest(self, template: Any) -> Any | None:
-        step = self.latest_step()
-        return None if step is None else self.restore(step, template)
+        owner = self._latest()
+        if owner is None:
+            return None
+        mgr, step = owner
+        return mgr.restore(step, args=ocp.args.StandardRestore(template))
 
     def restore_latest_untyped(self) -> Any | None:
         """Restore the latest checkpoint without a template (as saved —
         nested dicts of numpy arrays). Lets inference CLIs read training
         output without constructing an optimizer state."""
-        step = self.latest_step()
-        return None if step is None else self._mgr.restore(step)
+        owner = self._latest()
+        if owner is None:
+            return None
+        mgr, step = owner
+        return mgr.restore(step)
 
     def close(self) -> None:
         self._mgr.close()
+        if self._latest_mgr is not None:
+            self._latest_mgr.close()
 
 
 class EarlyStopping:

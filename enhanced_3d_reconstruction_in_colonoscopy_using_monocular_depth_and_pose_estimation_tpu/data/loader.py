@@ -72,6 +72,11 @@ class PrefetchLoader:
 
             pc = jax.process_count()
             pi = jax.process_index() if pi is None else pi
+        elif pc > 1 and pi is None:
+            # Silently mapping to index 0 would make every process decode
+            # the SAME slice (quadruplicated "global" batches).
+            raise ValueError("process_count > 1 requires an explicit "
+                             "process_index")
         return (pi or 0), max(1, pc)
 
     def _index_order(self) -> np.ndarray:

@@ -32,13 +32,12 @@ def _make_group_stacker(mesh):
     batch with an explicit output sharding: batch dim over ``data`` when it
     divides the axis, replicated otherwise. One compiled program per
     (shape, sharded) pair — built once per fit."""
-    import jax.numpy as jnp_
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     stack_sh = jax.jit(
-        lambda *xs: jnp_.stack(xs),
+        lambda *xs: jnp.stack(xs),
         out_shardings=NamedSharding(mesh, P(None, meshlib.DATA_AXIS)))
-    stack_re = jax.jit(lambda *xs: jnp_.stack(xs),
+    stack_re = jax.jit(lambda *xs: jnp.stack(xs),
                        out_shardings=meshlib.replicated_sharding(mesh))
 
     def stack(prepped: list[dict], key: str, sharded: bool):
@@ -46,6 +45,16 @@ def _make_group_stacker(mesh):
         return fn(*[p[key] for p in prepped])
 
     return stack
+
+
+def _restore_stopper(stopper: EarlyStopping, ckpt: CheckpointManager) -> None:
+    """Rehydrate early-stop patience from the latest checkpoint's metrics
+    (saved alongside val_loss) so a resumed plateaued run doesn't reset
+    its counter and cycle on the same segment after every preemption."""
+    m = ckpt.latest_metrics()
+    if m and "es_bad_count" in m:
+        stopper.best = float(m["es_best"])
+        stopper.bad_count = int(m["es_bad_count"])
 
 
 def _group_accum(loader: Iterable[dict], accum: int):
@@ -94,9 +103,10 @@ def fit_depth(
     state = task.init_state(jax.random.PRNGKey(seed), (size, size),
                             pretrained_params=pretrained_params)
     if resume:
-        restored = ckpt.restore_latest(jax.tree.map(lambda x: x, state))
+        restored = ckpt.restore_latest(state)
         if restored is not None:
             state = jax.device_put(restored, task.state_shardings(state))
+            _restore_stopper(stopper, ckpt)
             print(f"[fit_depth] resumed from step {int(state.step)}")
     rng = jax.random.PRNGKey(seed + 1)
     lr_table = task.lr_table()
@@ -185,9 +195,14 @@ def fit_depth(
                                for k, v in val_metrics.items()
                                if k != "loss"}},
                            step=step, force_stdout=True)
+                # Stopper first so its post-update state rides the
+                # checkpoint: resume restores the patience counter too.
+                should_stop = stopper.update(float(val_metrics["loss"]))
                 ckpt.save(step, state,
-                          {"val_loss": float(val_metrics["loss"])})
-                if stopper.update(float(val_metrics["loss"])):
+                          {"val_loss": float(val_metrics["loss"]),
+                           "es_best": float(stopper.best),
+                           "es_bad_count": float(stopper.bad_count)})
+                if should_stop:
                     print(f"[early-stop] val_loss plateaued "
                           f"(best {stopper.best:.5f})")
                     stop = True
@@ -287,9 +302,10 @@ def fit_pose(
     size = datamodule.size
     state = task.init_state(jax.random.PRNGKey(seed), (size, size))
     if resume:
-        restored = ckpt.restore_latest(jax.tree.map(lambda x: x, state))
+        restored = ckpt.restore_latest(state)
         if restored is not None:
             state = jax.device_put(restored)
+            _restore_stopper(stopper, ckpt)
             print(f"[fit_pose] resumed from step {int(state.step)}")
     lr_table = task.lr_table()
     host_step = int(state.step)
@@ -298,12 +314,18 @@ def fit_pose(
     pose_keys = ("loss", "ate", "rte", "rote")
     bank_update = jax.jit(MetricBank.update)
 
+    # One loader for the whole fit: PrefetchLoader reshuffles per epoch
+    # via its internal epoch counter — recreating it each epoch would
+    # reset that counter and train every epoch on the SAME permutation
+    # (fit_depth builds its loader once for the same reason).
+    train_loader = datamodule.train_loader()
+
     stop = False
     for epoch in range(max_epochs):
         if stop:
             break
         bank = MetricBank.zeros(pose_keys)
-        for batch in datamodule.train_loader():
+        for batch in train_loader:
             jbatch = meshlib.shard_batch(
                 task.mesh,
                 {"input": batch["input"], "target": batch["target"]},
@@ -346,8 +368,11 @@ def fit_pose(
         logger.log({"val_loss": val.get("loss", float("nan")),
                     **{f"Val/val_{k}": v for k, v in val.items()
                        if k != "loss"}}, step=step, force_stdout=True)
-        ckpt.save(step, state, {"val_loss": float(val.get("loss", 1e9))})
-        if stopper.update(float(val.get("loss", 1e9))):
+        should_stop = stopper.update(float(val.get("loss", 1e9)))
+        ckpt.save(step, state, {"val_loss": float(val.get("loss", 1e9)),
+                                "es_best": float(stopper.best),
+                                "es_bad_count": float(stopper.bad_count)})
+        if should_stop:
             print(f"[early-stop] val_loss plateaued (best {stopper.best:.5f})")
             break
     ckpt.close()
