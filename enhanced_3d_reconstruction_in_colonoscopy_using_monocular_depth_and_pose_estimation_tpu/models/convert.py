@@ -16,12 +16,12 @@ Layout rules (torch -> flax/NHWC):
 - LayerNorm/BatchNorm ``weight/bias`` -> ``scale/bias``; BN running stats ->
   ``batch_stats`` collection.
 
-Known limitation: ``vitg`` assumes the MLP FFN variant (ratio 4, hidden
-6144) — the configuration DAv2 instantiates (its builder passes
-``ffn_layer="mlp"``; the training logs in the reference record
-"[dinov2][INFO] using MLP layer as FFN"). A SwiGLU-packed giant checkpoint
-(stock dinov2 vit_giant2) would fail shape checks loudly rather than load
-wrong. No reference experiment uses vitg.
+``vitg`` builds the fused-SwiGLU FFN (upstream vit_giant2 semantics;
+``mlp.w12``/``mlp.w3`` keys map one-to-one). Both FFN key families are
+mapped, so a hypothetical MLP-FFN giant would convert too — but its tree
+would fail the model's shape/param checks loudly rather than load wrong
+(select ``DinoViT(ffn="mlp")`` for such a checkpoint). No reference
+experiment uses vitg.
 """
 
 from __future__ import annotations
@@ -137,6 +137,11 @@ def convert_dav2(state: Mapping[str, np.ndarray], encoder: str,
         enc(p + ("mlp", "fc1", "bias"), f"{b}.mlp.fc1.bias")
         enc(p + ("mlp", "fc2", "kernel"), f"{b}.mlp.fc2.weight", _dense)
         enc(p + ("mlp", "fc2", "bias"), f"{b}.mlp.fc2.bias")
+        # Fused-SwiGLU FFN (vit_giant2): w12 packs gate+value, w3 back.
+        enc(p + ("mlp", "w12", "kernel"), f"{b}.mlp.w12.weight", _dense)
+        enc(p + ("mlp", "w12", "bias"), f"{b}.mlp.w12.bias")
+        enc(p + ("mlp", "w3", "kernel"), f"{b}.mlp.w3.weight", _dense)
+        enc(p + ("mlp", "w3", "bias"), f"{b}.mlp.w3.bias")
     enc(("norm", "scale"), "pretrained.norm.weight")
     enc(("norm", "bias"), "pretrained.norm.bias")
 

@@ -60,20 +60,28 @@ class DepthAnythingV2(nn.Module):
     token_merge: float = 0.0
     # Dynamic-int8 encoder matmuls (inference-only; see ops/quant.py).
     quant_int8: bool = False
+    # int8 scope (auto|all|mlp|attn) and DPT-conv quant toggle — module
+    # FIELDS (resolved from env once, in build_depth_model) so every jit
+    # cache key sees them; reading env at trace time instead would let a
+    # stale compiled program serve a flipped knob.
+    quant_scope: str = "auto"
+    quant_dpt: bool = True
 
     @nn.compact
     def __call__(self, img: Array) -> Array:
         b, h, w, _ = img.shape
         ph, pw = h // PATCH_SIZE, w // PATCH_SIZE
         taps = DinoViT(self.encoder, self.dtype, self.grad_checkpoint,
-                       self.token_merge, self.quant_int8,
+                       self.token_merge, self.quant_int8, self.quant_scope,
                        name="pretrained")(img)
-        dpt_quant = (self.quant_int8
-                     and os.environ.get("E3D_QUANT_DPT", "1") == "1")
         depth01 = DPTHead(VIT_ARCHS[self.encoder]["embed_dim"], self.features,
                           tuple(self.out_channels), self.dtype,
-                          quant=dpt_quant, name="depth_head")(taps, ph, pw)
+                          quant=self.quant_int8 and self.quant_dpt,
+                          name="depth_head")(taps, ph, pw)
         return depth01[..., 0].astype(jnp.float32) * self.max_depth
+
+
+_QUANT_SCOPES = ("auto", "all", "mlp", "attn")
 
 
 def build_depth_model(encoder: str, max_depth: float,
@@ -82,6 +90,12 @@ def build_depth_model(encoder: str, max_depth: float,
                       token_merge: float = 0.0,
                       quant_int8: bool = False) -> DepthAnythingV2:
     cfg = MODEL_CONFIGS[encoder]
+    scope = os.environ.get("E3D_QUANT_SCOPE", "auto")
+    if scope not in _QUANT_SCOPES:
+        # A typo (e.g. "atn", "ALL") must not silently run bf16 while a
+        # sweep records the numbers as an int8 scope variant.
+        raise ValueError(f"E3D_QUANT_SCOPE={scope!r}; "
+                         f"expected one of {_QUANT_SCOPES}")
     return DepthAnythingV2(
         encoder=cfg["encoder"],
         features=cfg["features"],
@@ -91,6 +105,8 @@ def build_depth_model(encoder: str, max_depth: float,
         grad_checkpoint=grad_checkpoint,
         token_merge=token_merge,
         quant_int8=quant_int8,
+        quant_scope=scope,
+        quant_dpt=os.environ.get("E3D_QUANT_DPT", "1") == "1",
     )
 
 
@@ -230,12 +246,7 @@ class _ModelThunk:
         self._key = (model.encoder, model.features, tuple(model.out_channels),
                      float(model.max_depth), str(model.dtype),
                      model.grad_checkpoint, float(model.token_merge),
-                     model.quant_int8,
-                     # Trace-time int8 env knobs (read in dinov2.Block /
-                     # ops/quant.py): flipping them between calls must not
-                     # reuse a program traced under the old scope.
-                     os.environ.get("E3D_QUANT_SCOPE", "auto"),
-                     os.environ.get("E3D_QUANT_DPT", "1"))
+                     model.quant_int8, model.quant_scope, model.quant_dpt)
 
     def __call__(self) -> DepthAnythingV2:
         return self._model

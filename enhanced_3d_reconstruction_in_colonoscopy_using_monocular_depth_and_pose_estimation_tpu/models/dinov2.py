@@ -8,7 +8,8 @@ weights drop in (see ``models/convert.py``):
 
 - patch embed: 14x14/14 conv; cls token; learned pos-embed for a 37x37 grid
   (518 px) with bicubic interpolation for other sizes;
-- pre-LN blocks (eps 1e-6), exact GELU MLP (ratio 4), LayerScale
+- pre-LN blocks (eps 1e-6), exact GELU MLP (ratio 4) — fused SwiGLU for
+  vit_giant2 (upstream ``ffn_layer="swiglufused"``) — LayerScale
   (init_values=1.0), no register tokens;
 - ``get_intermediate_layers`` semantics: tap blocks at the DAv2 indices,
   apply the final LayerNorm to each tap, return (patch_tokens, cls_token).
@@ -31,11 +32,13 @@ from ..ops import attention as attn_ops
 
 Array = jax.Array
 
-VIT_ARCHS: dict[str, dict[str, int]] = {
+VIT_ARCHS: dict[str, dict[str, Any]] = {
     "vits": dict(embed_dim=384, depth=12, num_heads=6),
     "vitb": dict(embed_dim=768, depth=12, num_heads=12),
     "vitl": dict(embed_dim=1024, depth=24, num_heads=16),
-    "vitg": dict(embed_dim=1536, depth=40, num_heads=24),
+    # vit_giant2 uses the fused-SwiGLU FFN (upstream DINOv2 backbones
+    # and DAv2's vendored copy: ffn_layer="swiglufused" for giant only).
+    "vitg": dict(embed_dim=1536, depth=40, num_heads=24, ffn="swiglu"),
     # tiny config for tests / dry runs (not in the reference)
     "vitt": dict(embed_dim=64, depth=4, num_heads=2),
 }
@@ -78,6 +81,45 @@ class Mlp(nn.Module):
         x = nn.Dense(self.out_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc2")(x)
         return x
+
+
+def swiglu_hidden(dim: int, ratio: float = 4.0) -> int:
+    """DINOv2 SwiGLUFFNFused hidden width: 2/3 of the MLP hidden, rounded
+    up to a multiple of 8 (vitg: 1536 -> 4096)."""
+    return (int(dim * ratio * 2 / 3) + 7) // 8 * 8
+
+
+class SwiGLU(nn.Module):
+    """Fused-SwiGLU FFN (DINOv2 ``SwiGLUFFNFused``): ``w12`` packs the
+    gate and value projections, ``w3`` projects back.
+
+    Param names mirror the DAv2 checkpoint keys (``mlp.w12``/``mlp.w3``)
+    so the converter maps giant checkpoints one-to-one."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: Any = jnp.bfloat16
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.quant:
+            from ..ops.quant import int8_dense
+
+            k12, b12 = _LinearParams(x.shape[-1], 2 * self.hidden_dim,
+                                     name="w12")()
+            x12 = int8_dense(x.astype(self.dtype), k12, b12)
+            x1, x2 = jnp.split(x12, 2, axis=-1)
+            h = nn.silu(x1) * x2
+            k3, b3 = _LinearParams(self.hidden_dim, self.out_dim,
+                                   name="w3")()
+            return int8_dense(h, k3, b3)
+        x12 = nn.Dense(2 * self.hidden_dim, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(self.out_dim, dtype=self.dtype,
+                        param_dtype=jnp.float32,
+                        name="w3")(nn.silu(x1) * x2)
 
 
 class _LinearParams(nn.Module):
@@ -147,21 +189,27 @@ class Block(nn.Module):
     num_heads: int
     dtype: Any = jnp.bfloat16
     quant: bool = False
+    quant_scope: str = "auto"
+    ffn: str = "mlp"  # "mlp" (ratio-4 GELU) | "swiglu" (vit_giant2)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        # E3D_QUANT_SCOPE: auto (default) | all | mlp | attn.
-        # Measured on v5e (perf/quant_int8_scope.log, quant_int8_bs_
-        # sweep.log): full quant wins at bs8/16/32 (+14/7.8/13.9%) but
-        # the attention projections LOSE 22 ms at bs64, where bf16
-        # GEMMs already run at peak efficiency. "auto" quantizes the
-        # MLP always and attention only when the (trace-time static)
-        # batch is <= 32, so --int8 never regresses much at any batch.
-        import os
-
-        scope = os.environ.get("E3D_QUANT_SCOPE", "auto")
+        # quant_scope: auto | all | mlp | attn (a build-time module field
+        # — resolved from E3D_QUANT_SCOPE in build_depth_model, so it
+        # participates in every jit cache key instead of being hidden
+        # trace-time env state). Measured on v5e (perf/quant_int8_
+        # scope.log, quant_int8_bs_sweep.log): full quant wins at
+        # bs8/16/32 (+14/7.8/13.9%) but the attention projections LOSE
+        # 22 ms at bs64, where bf16 GEMMs already run at peak
+        # efficiency. "auto" quantizes the MLP always and attention only
+        # when the (trace-time static) PER-DEVICE batch is <= 32 — under
+        # data-parallel serving the global batch is sharded over
+        # jax.device_count() chips, and the threshold was measured
+        # per-chip.
+        scope = self.quant_scope
         if scope == "auto":
-            scope = "all" if x.shape[0] <= 32 else "mlp"
+            scope = ("all" if x.shape[0] <= 32 * jax.device_count()
+                     else "mlp")
         attn_q = self.quant and scope in ("all", "attn")
         mlp_q = self.quant and scope in ("all", "mlp")
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
@@ -171,16 +219,54 @@ class Block(nn.Module):
         x = x + LayerScale(self.dim, name="ls1")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm2")(x)
-        y = Mlp(4 * self.dim, self.dim, self.dtype, quant=mlp_q,
-                name="mlp")(y)
+        if self.ffn == "swiglu":
+            y = SwiGLU(swiglu_hidden(self.dim), self.dim, self.dtype,
+                       quant=mlp_q, name="mlp")(y)
+        else:
+            y = Mlp(4 * self.dim, self.dim, self.dtype, quant=mlp_q,
+                    name="mlp")(y)
         return x + LayerScale(self.dim, name="ls2")(y)
+
+
+def _torch_bicubic_matrix(out_size: int, in_size: int,
+                          offset: float = 0.1):
+    """(out, in) interpolation matrix matching torch ``F.interpolate``
+    bicubic with DINOv2's ``interpolate_offset`` semantics: the scale is
+    the GIVEN ``(out + offset) / in`` factor (not out/in), cubic kernel
+    A = -0.75, ``antialias=False``, edge-clamped taps. Static-shape work
+    done in numpy at trace time."""
+    import numpy as np
+
+    a = -0.75
+    scale = float(out_size + offset) / in_size
+    w = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        src = (i + 0.5) / scale - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        # cubic convolution weights at distances (1+t, t, 1-t, 2-t)
+        d = np.array([1.0 + t, t, 1.0 - t, 2.0 - t])
+        ad = np.abs(d)
+        wt = np.where(
+            ad <= 1.0, (a + 2.0) * ad ** 3 - (a + 3.0) * ad ** 2 + 1.0,
+            a * ad ** 3 - 5.0 * a * ad ** 2 + 8.0 * a * ad - 4.0 * a)
+        for k in range(4):
+            j = min(max(i0 - 1 + k, 0), in_size - 1)
+            w[i, j] += wt[k]
+    return w
 
 
 def interpolate_pos_embed(pos_embed: Array, grid_h: int, grid_w: int) -> Array:
     """Resize the (1, 1+37*37, C) pos-embed to a (grid_h, grid_w) patch grid.
 
-    DINOv2 interpolates the patch grid bicubically and keeps the cls slot.
-    """
+    DINOv2 interpolates the patch grid bicubically and keeps the cls
+    slot. Numerics match the reference chain's
+    ``DinoVisionTransformer.interpolate_pos_encoding`` (DAv2's vendored
+    dinov2: torch bicubic A=-0.75, ``antialias=False``,
+    ``interpolate_offset=0.1`` scale-factor semantics) — NOT
+    ``jax.image.resize``, whose Keys kernel (A=-0.5) and antialiasing
+    would give a systematic small deviation at every non-518-square
+    resolution."""
     cls_pe = pos_embed[:, :1]
     patch_pe = pos_embed[:, 1:]
     n = patch_pe.shape[1]
@@ -188,9 +274,13 @@ def interpolate_pos_embed(pos_embed: Array, grid_h: int, grid_w: int) -> Array:
     if (grid_h, grid_w) == (src, src):
         return pos_embed
     c = patch_pe.shape[-1]
-    grid = patch_pe.reshape(1, src, src, c)
-    grid = jax.image.resize(grid, (1, grid_h, grid_w, c), method="bicubic")
-    return jnp.concatenate([cls_pe, grid.reshape(1, grid_h * grid_w, c)], axis=1)
+    grid = patch_pe.reshape(src, src, c).astype(jnp.float32)
+    wh = jnp.asarray(_torch_bicubic_matrix(grid_h, src))
+    ww = jnp.asarray(_torch_bicubic_matrix(grid_w, src))
+    out = jnp.einsum("hm,mnc->hnc", wh, grid)
+    out = jnp.einsum("wn,hnc->hwc", ww, out).astype(pos_embed.dtype)
+    return jnp.concatenate([cls_pe, out.reshape(1, grid_h * grid_w, c)],
+                           axis=1)
 
 
 class DinoViT(nn.Module):
@@ -210,6 +300,9 @@ class DinoViT(nn.Module):
     # Dynamic-int8 (W8A8) block matmuls — inference-only opt-in speed
     # mode riding the MXU's 2x int8 rate (ops/quant.py).
     quant_int8: bool = False
+    quant_scope: str = "auto"
+    # FFN variant; "" resolves from VIT_ARCHS (swiglu for vitg).
+    ffn: str = ""
 
     @nn.compact
     def __call__(self, img: Array, tap_indices: list[int] | None = None
@@ -260,9 +353,10 @@ class DinoViT(nn.Module):
         slot_map = None
         tap_set = set(taps)
         merge_after = min(taps) if (self.token_merge > 0 and taps) else None
+        ffn = self.ffn or arch.get("ffn", "mlp")
         for i in range(depth):
             x = block_cls(dim, heads, self.dtype, self.quant_int8,
-                          name=f"blocks_{i}")(x)
+                          self.quant_scope, ffn, name=f"blocks_{i}")(x)
             if i in tap_set:
                 outputs[i] = x
                 if slot_map is not None:

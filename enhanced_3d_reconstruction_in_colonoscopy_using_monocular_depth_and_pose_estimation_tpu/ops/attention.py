@@ -105,7 +105,7 @@ def qkv_self_attention(x: Array, w_qkv: Array, b_qkv: Array,
         # (A packed single-GEMM variant with bf16 output transposes
         # measured strictly worse — CLAUDE.md int8 notes.)
         xq, xs = quantize_rows(xp)                      # (b,n,c), (b,n,1)
-        wq, wsc = quantize_cols(w_qkv.astype(jnp.float32))  # (c,3c),(3c,)
+        wq, wsc = quantize_cols(w_qkv)                  # (c,3c), (3c,)
         wq = wq.reshape(c, 3, h, hd)
         wsc = wsc.reshape(3, h, hd)
         q = int8_einsum("bnc,chd->bhnd", xq, wq[:, 0],
@@ -129,14 +129,11 @@ def qkv_self_attention(x: Array, w_qkv: Array, b_qkv: Array,
     out = flash_attention_fused(q, kt, v, n_valid=n, interpret=interpret)
     out = out[:, :, :n]                                  # (b, h, n, hd)
     if quant:
-        from .quant import int8_einsum, quantize_cols
+        from .quant import int8_einsum, quantize_axes, quantize_cols
 
-        of = out.astype(jnp.float32)
         # Contraction spans (h, d): one scale per (b, n) token row.
-        osc = jnp.maximum(jnp.max(jnp.abs(of), axis=(1, 3), keepdims=True),
-                          1e-8) / 127.0                 # (b,1,n,1)
-        oq = jnp.clip(jnp.round(of / osc), -127, 127).astype(jnp.int8)
-        pq, psc = quantize_cols(w_proj.astype(jnp.float32))   # (c,c),(c,)
+        oq, osc = quantize_axes(out, (1, 3))            # (b,1,n,1) scale
+        pq, psc = quantize_cols(w_proj)                 # (c,c),(c,)
         y = int8_einsum("bhnd,hdc->bnc", oq, pq.reshape(h, hd, c),
                         osc[:, 0], psc[None, None, :], x.dtype)
         return y + b_proj.astype(y.dtype)

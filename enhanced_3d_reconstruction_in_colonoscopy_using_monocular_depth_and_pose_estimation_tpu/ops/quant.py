@@ -26,16 +26,25 @@ Array = jax.Array
 _EPS = 1e-8
 
 
+def quantize_axes(x: Array, axes: tuple[int, ...]) -> tuple[Array, Array]:
+    """Symmetric int8 with one scale per remaining index (abs-max over
+    ``axes``, kept as broadcastable size-1 dims).
+
+    Returns (q int8 same shape, scale f32 with ``axes`` reduced to 1).
+    """
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=axes, keepdims=True),
+                        _EPS) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def quantize_rows(x: Array) -> tuple[Array, Array]:
     """Quantize over the LAST axis: per-row symmetric int8.
 
     Returns (q int8 same shape, scale f32 shape x.shape[:-1] + (1,)).
     """
-    xf = x.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
-                        _EPS) / 127.0
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    return quantize_axes(x, (x.ndim - 1,))
 
 
 def quantize_cols(w: Array) -> tuple[Array, Array]:

@@ -202,6 +202,12 @@ _TP_RULES: list[tuple[str, P]] = [
     (r".*mlp/fc1/kernel$", P(None, MODEL_AXIS)),
     (r".*mlp/fc1/bias$", P(MODEL_AXIS)),
     (r".*mlp/fc2/kernel$", P(MODEL_AXIS, None)),
+    # Fused-SwiGLU FFN (vitg): w12 column-parallel, w3 row-parallel.
+    # The gate/value halves of w12 land interleaved across shards; GSPMD
+    # keeps the split-and-multiply exact (a reshard, not a wrong answer).
+    (r".*mlp/w12/kernel$", P(None, MODEL_AXIS)),
+    (r".*mlp/w12/bias$", P(MODEL_AXIS)),
+    (r".*mlp/w3/kernel$", P(MODEL_AXIS, None)),
 ]
 
 
