@@ -99,6 +99,17 @@ def process_images(train_vids: list[str], val_vids: list[str],
             splits[2][0], splits[2][1])
 
 
+def _to_rgb3(arr: np.ndarray) -> np.ndarray:
+    """Any decoded PNG layout -> (H, W, 3): gray and gray+alpha replicate
+    the luma channel (a (H, W, 2) LA image sliced [:, :, :3] would flow 2
+    channels into the 3-channel pipeline), RGBA drops alpha."""
+    if arr.ndim == 2:
+        return np.stack([arr] * 3, axis=-1)
+    if arr.shape[2] == 2:  # gray + alpha
+        return np.stack([arr[:, :, 0]] * 3, axis=-1)
+    return arr[:, :, :3]
+
+
 def decode_rgb(path: str) -> np.ndarray:
     """RGB uint8 (H, W, 3). Native C++ PNG/JPEG decoders (data/native,
     media/native) with a PIL fallback; drops alpha."""
@@ -117,21 +128,18 @@ def decode_rgb(path: str) -> np.ndarray:
     if native and path.endswith(".png"):
         try:
             arr = native.decode_png_batch([path])[0]
-            if arr.ndim == 2:
-                arr = np.stack([arr] * 3, axis=-1)
+            arr = _to_rgb3(arr)
             if arr.dtype == np.uint16:
                 arr = (arr // 256).astype(np.uint8)
-            return np.ascontiguousarray(arr[:, :, :3])
+            return np.ascontiguousarray(arr)
         except ValueError:
             pass  # unsupported PNG flavor -> PIL
     from PIL import Image
 
-    arr = np.asarray(Image.open(path))
-    if arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=-1)
+    arr = _to_rgb3(np.asarray(Image.open(path)))
     if arr.dtype == np.uint16:  # same downcast as the native path
         arr = (arr // 256).astype(np.uint8)
-    return np.ascontiguousarray(arr[:, :, :3])
+    return np.ascontiguousarray(arr)
 
 
 def decode_depth16_png(path: str) -> np.ndarray:

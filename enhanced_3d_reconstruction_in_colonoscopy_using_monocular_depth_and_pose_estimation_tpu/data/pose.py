@@ -30,9 +30,7 @@ import numpy as np
 from . import io as dio
 from .loader import PrefetchLoader
 from .preprocess import host_resize_depth, host_resize_image
-
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from ..ops.augment import IMAGENET_MEAN, IMAGENET_STD
 
 
 def relative_pose_np(p1, q1, p2, q2, eps: float = 1e-8) -> np.ndarray:
@@ -75,7 +73,8 @@ class PoseDataset:
                 print(f"Warning: Position file not found for {folder}")
                 continue
             positions, orientations = loaded
-            n = min(len(positions), len(rgb_frames), len(depth_frames))
+            n = min(len(positions), len(orientations),
+                    len(rgb_frames), len(depth_frames))
             positions, orientations = positions[:n], orientations[:n]
             rgb_frames, depth_frames = rgb_frames[:n], depth_frames[:n]
             poses = list(np.concatenate([positions, orientations], axis=1))

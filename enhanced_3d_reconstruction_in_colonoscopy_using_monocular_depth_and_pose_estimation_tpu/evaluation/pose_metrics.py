@@ -80,7 +80,12 @@ def calculate_scale_factor(pred_rel_poses: Array, gt_rel_poses: Array) -> Array:
     """
     pred_t = pred_rel_poses[..., :3]
     gt_t = gt_rel_poses[..., :3]
-    return jnp.sum(pred_t * gt_t) / jnp.sum(pred_t * pred_t)
+    # Epsilon guard (same numerical-safety convention as the masked
+    # means here): near-zero predicted translations — e.g. an
+    # early-training collapse — would make this 0/0 = NaN and poison
+    # every trajectory metric of the epoch.
+    return (jnp.sum(pred_t * gt_t)
+            / jnp.maximum(jnp.sum(pred_t * pred_t), 1e-12))
 
 
 def evaluate_trajectory(pred_rel_poses: Array, gt_rel_poses: Array,

@@ -155,10 +155,17 @@ def compose_poses(relative_poses: Array, initial_pose: Array | None = None) -> A
     initial_pose = jnp.asarray(initial_pose, jnp.float32).reshape(7)
 
     t_rel = relative_poses[:, :3]
-    q_rel = sanitize(relative_poses[:, 3:])
+    # Normalize after the zero-quat fallback: the SE(3) pair op is only
+    # associative for UNIT quaternions — raw network outputs are
+    # unnormalized, and scanning them un-normalized compounds the norm
+    # multiplicatively (garbage/overflowing trajectories within a few
+    # hundred frames). The reference goes through scipy Rotation, which
+    # normalizes internally (``evaluation.py:319-382``).
+    q_rel = normalize(sanitize(relative_poses[:, 3:]))
 
     # Prepend the initial pose, then scan the group op.
     t_all = jnp.concatenate([initial_pose[None, :3], t_rel], axis=0)
-    q_all = jnp.concatenate([initial_pose[None, 3:], q_rel], axis=0)
+    q0 = normalize(sanitize(initial_pose[None, 3:]))
+    q_all = jnp.concatenate([q0, q_rel], axis=0)
     t_abs, q_abs = jax.lax.associative_scan(_compose_pair, (t_all, q_all), axis=0)
     return jnp.concatenate([t_abs, q_abs], axis=-1)

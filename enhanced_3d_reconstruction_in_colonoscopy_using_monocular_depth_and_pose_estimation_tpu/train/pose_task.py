@@ -59,7 +59,8 @@ class PoseTask:
         self.optimizer = make_pose_optimizer(
             lr, total_steps, pct_start, div_factor,
             weight_decay=weight_decay, clip_norm=clip_norm)
-        self._train_step = None
+        # keyed by "batch divisible by data axis" (sharded vs replicated)
+        self._train_step: dict[bool, Any] = {}
         self._eval_step = None
 
     def init_state(self, rng: Array,
@@ -99,7 +100,14 @@ class PoseTask:
 
     def train_step(self, state: PoseTrainState, batch: dict):
         """batch: {"input": (B, H, W, 8), "target": (B, 7)}."""
-        if self._train_step is None:
+        # One compiled program per sharding regime: the divisibility of
+        # the batch by the data axis must be re-decided per call, not
+        # frozen from the first batch (a small first/debug batch would
+        # otherwise pin every later full-size batch to the replicated
+        # path, silently forfeiting data parallelism).
+        sharded = (batch["input"].shape[0]
+                   % self.mesh.shape[meshlib.DATA_AXIS] == 0)
+        if self._train_step.get(sharded) is None:
             def step_fn(state: PoseTrainState, batch: dict):
                 rng = jax.random.fold_in(state.rng, state.step)
                 (loss, (batch_stats, pred)), grads = jax.value_and_grad(
@@ -115,16 +123,13 @@ class PoseTask:
                                            state.step + 1, state.rng)
                 return new_state, metrics
 
-            if (batch["input"].shape[0]
-                    % self.mesh.shape[meshlib.DATA_AXIS] == 0):
-                data_sh = meshlib.batch_sharding(self.mesh)
-            else:  # small/debug batches: replicate rather than fail
-                data_sh = meshlib.replicated_sharding(self.mesh)
-            self._train_step = jax.jit(
+            data_sh = (meshlib.batch_sharding(self.mesh) if sharded
+                       else meshlib.replicated_sharding(self.mesh))
+            self._train_step[sharded] = jax.jit(
                 step_fn, donate_argnums=(0,),
                 in_shardings=(None, {"input": data_sh, "target": data_sh}),
             )
-        return self._train_step(state, batch)
+        return self._train_step[sharded](state, batch)
 
     # ------------------------------------------------------------- eval step
 

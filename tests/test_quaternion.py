@@ -85,6 +85,42 @@ def test_compose_poses_matches_sequential_loop(rng):
     np.testing.assert_allclose(dots, 1.0, atol=1e-4)
 
 
+def test_compose_poses_unnormalized_matches_scipy(rng):
+    """RAW (unnormalized) network-style quaternions: the SE(3) pair op is
+    only associative for unit quats, so compose_poses must normalize
+    before scanning — scipy Rotation (the reference chain) normalizes
+    internally. Without it, quat norms compound multiplicatively and a
+    few-hundred-frame trajectory overflows f32."""
+    n = 300
+    rel_t = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    # norms in [0.5, 3]: typical raw regressor output scales
+    rel_q = (rng.normal(size=(n, 4)).astype(np.float32)
+             * rng.uniform(0.5, 3.0, size=(n, 1)).astype(np.float32))
+
+    ours = np.asarray(quat.compose_poses(
+        jnp.asarray(np.concatenate([rel_t, rel_q], axis=1))))
+    assert np.isfinite(ours).all()
+
+    cur_t = np.zeros(3)
+    cur_q = np.array([0.0, 0.0, 0.0, 1.0])
+    expected = [np.concatenate([cur_t, cur_q])]
+    for i in range(n):
+        new_q = (R.from_quat(cur_q) * R.from_quat(rel_q[i])).as_quat()
+        new_t = cur_t + R.from_quat(cur_q).apply(rel_t[i])
+        cur_t, cur_q = new_t, new_q
+        expected.append(np.concatenate([cur_t, cur_q]))
+    expected = np.stack(expected)
+
+    np.testing.assert_allclose(ours[:, :3], expected[:, :3], atol=2e-2)
+    dots = np.abs(np.sum(quat_np_normalize(ours[:, 3:])
+                         * expected[:, 3:], axis=1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-3)
+
+
+def quat_np_normalize(q):
+    return q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+
+
 def test_relative_pose_roundtrip(rng):
     """relative_pose(q1->q2) composed onto q1 returns q2's rotation."""
     q1 = random_unit_quats(rng, 8).astype(np.float32)
