@@ -52,8 +52,16 @@ def load_depth(pred_file: str, gt_file: str, expect_size: int):
         raise AssertionError(
             f"Wrong size of predicted depth, expected "
             f"[{expect_size},{expect_size}], got {list(pred.shape)}")
-    gt = cv2.resize(gt, (pred.shape[1], pred.shape[0]),
-                    interpolation=cv2.INTER_LINEAR)
+    if gt.shape != pred.shape:
+        gt = cv2.resize(gt, (pred.shape[1], pred.shape[0]),
+                        interpolation=cv2.INTER_LINEAR)
+        # The mask must live on the RESIZED grid (--no-strict allows a
+        # pred/GT size mismatch; a GT-native mask would mis-index or
+        # crash boolean indexing on pred).
+        valid_mask = cv2.resize(valid_mask.astype(np.uint8),
+                                (pred.shape[1], pred.shape[0]),
+                                interpolation=cv2.INTER_NEAREST
+                                ).astype(bool)
     return pred, gt, valid_mask
 
 
@@ -85,20 +93,23 @@ def main(argv=None) -> None:
                if os.path.isdir(os.path.join(root, t))] \
         if args.no_strict else TEST_FOLDERS
 
+    # Enumerate once: the completeness check and the eval loop must see
+    # the SAME file set (drifting duplicate globs could pass the strict
+    # count while evaluating different files).
+    traj_files: dict[str, list[str]] = {}
     for traj in folders:
         traj_dir = os.path.join(root, traj)
         assert os.path.exists(traj_dir), f"No input folder found: {traj_dir}"
         files = sorted(glob.glob(os.path.join(traj_dir, "Depth*.png"))) or \
             sorted(glob.glob(os.path.join(traj_dir, "FrameBuffer*.png")))
+        traj_files[traj] = files
         if not args.no_strict:
             expect = 601 if "SyntheticColon_I/" in traj + "/" else 1201
             assert len(files) == expect, f"Predictions missing in {traj}"
 
     overall = {k: [] for k in ("l1", "abs_rel", "d1", "rmse")}
     for traj in folders:
-        traj_dir = os.path.join(root, traj)
-        files = sorted(glob.glob(os.path.join(traj_dir, "Depth*.png"))) or \
-            sorted(glob.glob(os.path.join(traj_dir, "FrameBuffer*.png")))
+        files = traj_files[traj]
         stats = {k: [] for k in ("l1", "abs_rel", "d1", "rmse")}
         gt_dir = os.path.join(root, traj[:-3] if traj.endswith("_OP")
                               else traj)

@@ -127,7 +127,7 @@ def main(argv=None) -> None:
                                    jnp.asarray(quats[idx], jnp.float32))
         pts, cols, valid = backproject_depth(
             jnp.asarray(depth.astype(np.float32)), fx, fy, cx, cy,
-            color=jnp.asarray(color[..., ::-1].astype(np.float32)),
+            color=jnp.asarray(color[..., ::-1]),  # uint8: scaled /255 inside
             depth_scale=args.depth_scale, depth_trunc=args.depth_trunc,
             transform=transform)
         mask = np.asarray(valid)

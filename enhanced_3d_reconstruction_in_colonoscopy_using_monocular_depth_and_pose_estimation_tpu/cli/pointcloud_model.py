@@ -73,7 +73,7 @@ def main(argv=None) -> None:
 
         pts, cols, valid = backproject_depth(
             jnp.asarray(depth), fx, fy, cx, cy,
-            color=jnp.asarray(raw[..., ::-1].astype(np.float32)),
+            color=jnp.asarray(raw[..., ::-1]),  # uint8: scaled /255 inside
             depth_scale=1.0, depth_trunc=float(args.max_depth) + 1.0)
         mask = np.asarray(valid)
         name = os.path.splitext(os.path.basename(frame))[0]

@@ -105,15 +105,33 @@ def _deep_merge(base: dict, extra: dict) -> dict:
 
 
 def _resolve_interpolations(cfg: dict) -> None:
+    # Targets are resolved on demand (recursively, with a cycle guard):
+    # dict-order resolution would hand out the raw '${...}' template for
+    # any forward reference (a key interpolating one defined later).
+    resolving: set[str] = set()
+
+    def resolve_target(path: str) -> Any:
+        if path in resolving:
+            raise ValueError(f"interpolation cycle through ${{{path}}}")
+        target = _get_path(cfg, path)
+        if isinstance(target, str) and _INTERP_RE.search(target):
+            resolving.add(path)
+            try:
+                target = resolve_str(target)
+            finally:
+                resolving.discard(path)
+        return target
+
+    def resolve_str(value: str) -> Any:
+        if _INTERP_RE.fullmatch(value):
+            # Whole-string interpolation preserves type.
+            return resolve_target(value[2:-1])
+        return _INTERP_RE.sub(
+            lambda m: str(resolve_target(m.group(1))), value)
+
     def resolve(value: Any) -> Any:
         if isinstance(value, str):
-            def repl(m: re.Match) -> str:
-                target = _get_path(cfg, m.group(1))
-                return str(target)
-            if _INTERP_RE.fullmatch(value):
-                # Whole-string interpolation preserves type.
-                return _get_path(cfg, value[2:-1])
-            return _INTERP_RE.sub(repl, value)
+            return resolve_str(value)
         if isinstance(value, dict):
             for k in value:
                 value[k] = resolve(value[k])

@@ -142,7 +142,11 @@ class VideoReader:
             raise ValueError(f"unsupported or unreadable container: {path}")
         vals = [ctypes.c_int() for _ in range(6)]
         fourcc = ctypes.create_string_buffer(5)
-        _cont_lib().e3d_video_info(self._h, *map(ctypes.byref, vals), fourcc)
+        rc = _cont_lib().e3d_video_info(self._h, *map(ctypes.byref, vals),
+                                        fourcc)
+        if rc != 0:
+            self.close()
+            raise ValueError(f"container info failed ({rc}): {path}")
         self.width, self.height, self.num_frames = (v.value for v in vals[:3])
         self.fps = vals[3].value / max(vals[4].value, 1)
         self.is_mjpeg = bool(vals[5].value)

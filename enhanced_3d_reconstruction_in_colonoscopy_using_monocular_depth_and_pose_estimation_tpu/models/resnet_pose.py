@@ -64,8 +64,7 @@ class PoseEstimationNet(nn.Module):
     dtype: Any = jnp.float32  # pose training is 32-true in the reference
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False,
-                 rngs_provided: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         """x: (B, H, W, in_channels) NHWC. Returns (B, 7) f32 poses."""
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,

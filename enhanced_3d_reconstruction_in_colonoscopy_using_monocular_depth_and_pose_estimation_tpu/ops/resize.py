@@ -194,29 +194,6 @@ def resize_antialias(x: Array, out_hw: tuple[int, int],
     )
 
 
-@functools.lru_cache(maxsize=256)
-def _align_corners_taps(in_size: int, out_size: int
-                        ) -> tuple[np.ndarray, np.ndarray]:
-    """(lo_index, frac_weight) arrays for linear align-corners sampling."""
-    if out_size == 1 or in_size == 1:
-        return (np.zeros(out_size, np.int32), np.zeros(out_size, np.float32))
-    coords = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
-    lo = np.clip(np.floor(coords).astype(np.int64), 0, in_size - 2)
-    frac = coords - lo
-    return lo.astype(np.int32), frac.astype(np.float32)
-
-
-def _lerp_axis(x: Array, in_size: int, out_size: int, axis: int) -> Array:
-    lo, frac = _align_corners_taps(in_size, out_size)
-    lo_j = jnp.asarray(lo)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w = jnp.asarray(frac).reshape(shape).astype(jnp.float32)
-    a = jnp.take(x, lo_j, axis=axis).astype(jnp.float32)
-    b = jnp.take(x, lo_j + 1, axis=axis).astype(jnp.float32)
-    return (a + (b - a) * w).astype(x.dtype)
-
-
 def resize_align_corners(x: Array, out_hw: tuple[int, int],
                          method: str = "bilinear",
                          order: str | None = None) -> Array:

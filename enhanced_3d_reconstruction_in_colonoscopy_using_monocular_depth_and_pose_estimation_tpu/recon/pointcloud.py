@@ -75,8 +75,12 @@ def backproject_depth(depth: Array, fx: float, fy: float, cx: float,
         pts = transform_points(pts, transform)
     cols = None
     if color is not None:
-        cols = jnp.asarray(color, jnp.float32).reshape(-1, 3)
-        cols = jnp.where(cols.max() > 1.5, cols / 255.0, cols)
+        cols = jnp.asarray(color)
+        # dtype decides the scaling, like Open3D's unconditional uint8 /
+        # 255 (depth_to_pointcloud.py RGBD path) — a value heuristic
+        # would misread a near-black uint8 frame as already normalized.
+        scale = 255.0 if jnp.issubdtype(cols.dtype, jnp.integer) else 1.0
+        cols = cols.astype(jnp.float32).reshape(-1, 3) / scale
     return pts, cols, valid.reshape(-1)
 
 

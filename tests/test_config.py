@@ -48,6 +48,25 @@ def test_run_dir_template_interpolation():
     assert "dsimcol" in run_dir
 
 
+def test_interpolation_forward_reference():
+    """A key interpolating one defined LATER in dict order must resolve
+    through the chain (dict-order resolution handed out the raw
+    '${...}' template); cycles raise instead of recursing forever."""
+    import pytest
+
+    cfg = {"run_dir": "${paths.out}",
+           "paths": {"root": "/tmp/x", "out": "${paths.root}/exp"},
+           "msg": "in ${paths.out} now"}
+    cfglib._resolve_interpolations(cfg)
+    assert cfg["run_dir"] == "/tmp/x/exp"
+    assert cfg["paths"]["out"] == "/tmp/x/exp"
+    assert cfg["msg"] == "in /tmp/x/exp now"
+
+    cyc = {"a": "${b}", "b": "${a}"}
+    with pytest.raises(ValueError, match="cycle"):
+        cfglib._resolve_interpolations(cyc)
+
+
 def test_snapshot_roundtrip(tmp_path):
     cfg = cfglib.compose(CONFIG_ROOT, "default", ["model=base"])
     cfglib.snapshot(cfg, str(tmp_path))
