@@ -17,7 +17,9 @@ import numpy as np
 
 
 def main(argv=None) -> None:
-    from ..data import C3VDDataModule, SimColDataModule
+    from ..data.c3vd import C3VDDataset
+    from ..data.loader import PrefetchLoader
+    from ..data.simcol import SimColDataset
 
     p = argparse.ArgumentParser()
     p.add_argument("--ds", default="simcol", choices=["simcol", "c3vd"])
@@ -28,18 +30,22 @@ def main(argv=None) -> None:
     p.add_argument("--num-workers", type=int, default=8)
     args = p.parse_args(argv)
 
-    cls = SimColDataModule if args.ds == "simcol" else C3VDDataModule
-    dm = cls(args.data_dir, args.train_list, args.train_list,
-             args.train_list, batch_size=args.batch_size,
-             num_workers=args.num_workers, size=args.size)
-    dm.setup("fit")
+    # host_resize=True: the reference computes stats over the RESIZED
+    # size x size tensors (calculate_stats.py transform pipeline) —
+    # native-resolution stats would differ (antialias low-passes
+    # variance) and --size would be a silent no-op.
+    cls = SimColDataset if args.ds == "simcol" else C3VDDataset
+    dataset = cls(args.data_dir, args.train_list, args.size, "Train",
+                  args.ds, host_resize=True)
 
     psum = np.zeros(3)
     psum_sq = np.zeros(3)
     dsum = dsum_sq = 0.0
     n_px = 0
     n_d = 0
-    for batch in dm.train_loader():
+    loader = PrefetchLoader(dataset, args.batch_size,
+                            num_threads=args.num_workers)
+    for batch in loader:
         imgs = batch["image"]
         if imgs.dtype == np.uint8:
             imgs = imgs.astype(np.float32) / 255.0

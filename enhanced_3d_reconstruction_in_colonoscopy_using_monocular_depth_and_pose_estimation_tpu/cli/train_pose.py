@@ -80,6 +80,7 @@ def main(argv: list[str] | None = None) -> None:
         max_steps=(int(cfg.trainer.max_steps)
                    if "max_steps" in cfg.trainer else None),
         log_every=int(cfg.trainer.get("log_every_n_steps", 1)),
+        resume=bool(cfg.trainer.get("resume", False)),
     )
 
     # ---- test with per-procedure trajectory metrics ----
@@ -96,22 +97,24 @@ def main(argv: list[str] | None = None) -> None:
             bucket["gt"].append(np.asarray(batch["target"][i]))
 
     proc_results = {}
-    all_pred, all_gt = [], []
     for proc, bucket in sorted(per_proc.items()):
         pred = np.stack(bucket["pred"])
         gt = np.stack(bucket["gt"])
-        all_pred.append(pred)
-        all_gt.append(gt)
         metrics = task.trajectory_metrics(jnp.asarray(pred), jnp.asarray(gt))
         proc_results[proc] = {k: float(v) for k, v in metrics.items()}
         print(f"  {proc}: " + " ".join(
             f"{k}={float(v):.6f}" for k, v in metrics.items()))
 
-    overall = task.trajectory_metrics(
-        jnp.asarray(np.concatenate(all_pred)),
-        jnp.asarray(np.concatenate(all_gt))) if all_pred else {}
-    overall = {k: float(v) for k, v in overall.items()}
-    print("== overall trajectory ==")
+    # Overall = mean over PER-PROCEDURE trajectories (the reference's
+    # aggregation convention): composing the concatenated sequences as
+    # one continuous trajectory would treat each procedure seam as real
+    # motion and compound drift across unrelated recordings.
+    overall = {}
+    if proc_results:
+        keys = next(iter(proc_results.values())).keys()
+        overall = {k: float(np.mean([m[k] for m in proc_results.values()]))
+                   for k in keys}
+    print("== overall trajectory (mean over procedures) ==")
     for k, v in overall.items():
         print(f"  {k}: {v:.6f}")
 

@@ -33,6 +33,18 @@ def _native_reader(video_path: str):
     return r
 
 
+def _validate_crop(crop: dict | None) -> dict | None:
+    """Normalize the crop config once for BOTH decode paths: falsy/empty
+    -> None; present but missing width/height -> a loud error (the two
+    paths previously disagreed: KeyError on native vs silent no-op on
+    cv2, depending on the input codec)."""
+    if not crop:
+        return None
+    if "width" not in crop or "height" not in crop:
+        raise ValueError(f"crop needs width and height, got {dict(crop)}")
+    return crop
+
+
 def video_to_frames(video_path: str, output_dir: str,
                     start_time: float = 0.0, end_time: float | None = None,
                     crop: dict | None = None, test: bool = False,
@@ -44,6 +56,12 @@ def video_to_frames(video_path: str, output_dir: str,
     """
     if not os.path.exists(video_path):
         raise FileNotFoundError(f"cannot open video: {video_path}")
+    if test:
+        # Reference isolates test-mode samples in output_path/test
+        # (video_to_images.py:150-156) — writing them into output_dir
+        # would clobber frames of a prior full extraction.
+        output_dir = os.path.join(output_dir, "test")
+    crop = _validate_crop(crop)
     reader = _native_reader(video_path)
     if reader is not None:
         with reader:
@@ -110,7 +128,7 @@ def _frames_cv2(video_path: str, output_dir: str, start_time: float,
         if not ok:
             break
         if (frame_idx - start_frame) % every_n == 0:
-            if crop:
+            if crop is not None:
                 y0 = max(0, int(crop.get("y", 0)))
                 x0 = max(0, int(crop.get("x", 0)))
                 y1 = min(frame.shape[0], y0 + int(crop["height"]))
@@ -143,7 +161,8 @@ def convert_avi_to_mp4(avi_path: str, mp4_path: str | None = None) -> str:
     if reader is not None:
         from . import native
         with reader as r:
-            with native.VideoWriter(mp4_path, r.width, r.height, r.fps,
+            with native.VideoWriter(mp4_path, r.width, r.height,
+                                    r.fps or 30.0,  # 0 fps AVI headers
                                     container="mp4") as wr:
                 for i in range(r.num_frames):
                     wr.write_jpeg(r.frame_bytes(i))

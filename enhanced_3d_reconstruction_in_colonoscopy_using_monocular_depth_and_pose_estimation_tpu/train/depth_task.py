@@ -95,7 +95,8 @@ class DepthTask:
             total_steps=total_steps, pct_start=pct_start,
             div_factor=div_factor, clip_norm=clip_norm)
         self._optimizer = None
-        self._train_step = None
+        # keyed by (mb divisible by data axis, has max_depth, has weight)
+        self._train_step: dict[tuple, Any] = {}
         self._eval_step = None
 
     # ------------------------------------------------------------------ init
@@ -185,11 +186,6 @@ class DepthTask:
         loss = silog_loss(pred, gt, mask)
         metrics = compute_depth_errors(jax.lax.stop_gradient(pred), gt, mask)
         return loss, metrics
-
-    def _microbatch_max_depth(self, batch, mb_shape0):
-        if "max_depth" in batch:
-            return batch["max_depth"]
-        return jnp.full((mb_shape0,), self.max_depth, jnp.float32)
 
     # ------------------------------------------------------------ train step
 
@@ -289,10 +285,16 @@ class DepthTask:
 
     def train_step(self, state: DepthTrainState, batch: dict):
         """batch: dict of (A, mb, ...) arrays; returns (state, metrics)."""
-        if self._train_step is None:
+        # Sharding regime re-decided per call (one compiled program per
+        # regime): freezing the first batch's divisibility would pin a
+        # debug-batch warmup's replicated layout onto every later
+        # full-size batch (see pose_task.train_step).
+        sharded = (batch["image"].shape[1]
+                   % self.mesh.shape[meshlib.DATA_AXIS] == 0)
+        key = (sharded, "max_depth" in batch, "weight" in batch)
+        if self._train_step.get(key) is None:
             step_fn, batch_spec = self._build_train_step()
-            mb = batch["image"].shape[1]
-            if mb % self.mesh.shape[meshlib.DATA_AXIS] != 0:
+            if not sharded:
                 # Microbatch not divisible by the data axis: replicate
                 # instead of failing (small-batch / debug runs).
                 batch_spec = meshlib.replicated_sharding(self.mesh)
@@ -306,7 +308,7 @@ class DepthTask:
                 batch_shardings["weight"] = \
                     meshlib.replicated_sharding(self.mesh)
             metric_sh = meshlib.replicated_sharding(self.mesh)
-            self._train_step = jax.jit(
+            self._train_step[key] = jax.jit(
                 step_fn,
                 donate_argnums=(0,),
                 in_shardings=(state_shardings, batch_shardings),
@@ -314,7 +316,7 @@ class DepthTask:
                                {k: metric_sh for k in
                                 ("d1", "abs_rel", "rmse", "l1", "loss")}),
             )
-        return self._train_step(state, batch)
+        return self._train_step[key](state, batch)
 
     # ------------------------------------------------------------- eval step
 
@@ -405,8 +407,12 @@ class DepthTask:
 
     def predict(self, params, image: Array) -> Array:
         """image: (B, H, W, 3) normalized -> (B, H, W) depth."""
-        return jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x))(params, image)
+        if not hasattr(self, "_predict"):
+            # Cached: a fresh jit(lambda) per call would retrace and
+            # recompile the full model on every batch.
+            self._predict = jax.jit(
+                lambda p, x: self.model.apply({"params": p}, x))
+        return self._predict(params, image)
 
 
 def _merge_params(base: Any, overlay: Any) -> Any:

@@ -93,7 +93,8 @@ def fit_depth(
     ``resume=True`` restores the latest checkpoint (params + optimizer +
     step) from ``ckpt_dir`` — mid-run resume, which the reference never
     wires (SURVEY.md section 5)."""
-    datamodule.setup("fit")
+    if getattr(datamodule, "train_dataset", None) is None:
+        datamodule.setup("fit")  # no-op if the CLI already set up
     size = datamodule.size
     pre = DevicePreprocessor(size=size)
     logger = logger or MetricLogger(log_dir)
@@ -294,7 +295,8 @@ def fit_pose(
     from .pose_task import PoseTask
 
     assert isinstance(task, PoseTask)
-    datamodule.setup("fit")
+    if getattr(datamodule, "train_dataset", None) is None:
+        datamodule.setup("fit")  # no-op if the CLI already set up
     logger = logger or MetricLogger(log_dir)
     ckpt = CheckpointManager(ckpt_dir, max_to_keep=1)
     stopper = EarlyStopping(patience=patience)

@@ -188,7 +188,7 @@ def test_video_to_frames_native_is_lossless_without_crop(mjpg_avi, tmp_path):
     assert n == 3
     with native.VideoReader(mjpg_avi) as r:
         stored = r.frame_bytes(0)
-    with open(os.path.join(out, "frame_0000.jpg"), "rb") as f:
+    with open(os.path.join(out, "test", "frame_0000.jpg"), "rb") as f:
         assert f.read() == stored
 
 
@@ -207,8 +207,9 @@ def test_infer_cli_on_native_jpeg_frames(mjpg_avi, tmp_path, monkeypatch):
     JPEGs through the native codec (run.py:151-187 video-frame input)."""
     from e3d_tpu.cli import infer
 
-    frames = str(tmp_path / "frames")
-    assert video_to_frames(mjpg_avi, frames, test=True, test_frames=2) == 2
+    frames = str(tmp_path / "frames" / "test")  # test-mode subdir
+    assert video_to_frames(mjpg_avi, str(tmp_path / "frames"),
+                           test=True, test_frames=2) == 2
     # An unreadable file in the glob must be warned-and-skipped, not fatal.
     with open(os.path.join(frames, "frame_9999.jpg"), "wb") as f:
         f.write(b"not a jpeg")

@@ -31,7 +31,9 @@ def test_video_to_images(video_path, tmp_path):
     video_to_images.main(["--video_path", video_path, "--output_dir", out,
                           "--start_time", "0.5", "--test",
                           "--test_frames", "5"])
-    frames = sorted(glob.glob(os.path.join(out, "frame_*.jpg")))
+    # test-mode samples land in output_dir/test (reference
+    # video_to_images.py:150-156) so they never clobber a real run
+    frames = sorted(glob.glob(os.path.join(out, "test", "frame_*.jpg")))
     assert len(frames) == 5
     import cv2
     img = cv2.imread(frames[0])
@@ -47,7 +49,7 @@ def test_video_crop(video_path, tmp_path):
                         test=True, test_frames=2)
     assert n == 2
     import cv2
-    img = cv2.imread(os.path.join(out, "frame_0000.jpg"))
+    img = cv2.imread(os.path.join(out, "test", "frame_0000.jpg"))
     assert img.shape == (30, 40, 3)
 
 
