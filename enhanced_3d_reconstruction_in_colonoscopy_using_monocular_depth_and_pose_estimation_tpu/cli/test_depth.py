@@ -100,6 +100,7 @@ def main(argv: list[str] | None = None) -> None:
         data=int(cfg.trainer.get("mesh_data", -1)),
         model=int(cfg.trainer.get("mesh_model", 1))))
     tensor_parallel = bool(cfg.trainer.get("tensor_parallel", False))
+    seq_parallel = bool(cfg.trainer.get("seq_parallel", False))
 
     task = DepthTask(
         encoder=cfg.model.encoder,
@@ -109,6 +110,7 @@ def main(argv: list[str] | None = None) -> None:
         grad_checkpoint=False,
         device_mesh=mesh,
         tensor_parallel=tensor_parallel,
+        seq_parallel=seq_parallel,
         token_merge=float(cfg.model.get("token_merge", 0.0)),
         quant_int8=bool(cfg.model.get("quant_int8", False)),
     )

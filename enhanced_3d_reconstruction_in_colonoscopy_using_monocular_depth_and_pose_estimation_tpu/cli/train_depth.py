@@ -75,6 +75,7 @@ def main(argv: list[str] | None = None) -> None:
         data=int(cfg.trainer.get("mesh_data", -1)),
         model=int(cfg.trainer.get("mesh_model", 1))))
     tensor_parallel = bool(cfg.trainer.get("tensor_parallel", False))
+    seq_parallel = bool(cfg.trainer.get("seq_parallel", False))
     fsdp = bool(cfg.trainer.get("fsdp", False))
 
     run_dir = cfglib.run_dir(cfg, cfg.run_dir_template)
@@ -115,6 +116,7 @@ def main(argv: list[str] | None = None) -> None:
         grad_checkpoint=bool(cfg.model.get("use_checkpoint", True)),
         device_mesh=mesh,
         tensor_parallel=tensor_parallel,
+        seq_parallel=seq_parallel,
         fsdp=fsdp,
         fsdp_min_size=(int(cfg.trainer.get("fsdp_min_size"))
                        if cfg.trainer.get("fsdp_min_size") is not None

@@ -66,6 +66,9 @@ class DepthAnythingV2(nn.Module):
     # stale compiled program serve a flipped knob.
     quant_scope: str = "auto"
     quant_dpt: bool = True
+    # Sequence-parallel residual-stream sharding for the ViT trunk
+    # (NamedSharding over (data, model) or None; see dinov2.Block).
+    token_sharding: Any = None
 
     @nn.compact
     def __call__(self, img: Array) -> Array:
@@ -73,6 +76,7 @@ class DepthAnythingV2(nn.Module):
         ph, pw = h // PATCH_SIZE, w // PATCH_SIZE
         taps = DinoViT(self.encoder, self.dtype, self.grad_checkpoint,
                        self.token_merge, self.quant_int8, self.quant_scope,
+                       token_sharding=self.token_sharding,
                        name="pretrained")(img)
         depth01 = DPTHead(VIT_ARCHS[self.encoder]["embed_dim"], self.features,
                           tuple(self.out_channels), self.dtype,
@@ -88,7 +92,8 @@ def build_depth_model(encoder: str, max_depth: float,
                       dtype: Any = jnp.bfloat16,
                       grad_checkpoint: bool = False,
                       token_merge: float = 0.0,
-                      quant_int8: bool = False) -> DepthAnythingV2:
+                      quant_int8: bool = False,
+                      token_sharding: Any = None) -> DepthAnythingV2:
     cfg = MODEL_CONFIGS[encoder]
     scope = os.environ.get("E3D_QUANT_SCOPE", "auto")
     if scope not in _QUANT_SCOPES:
@@ -107,6 +112,7 @@ def build_depth_model(encoder: str, max_depth: float,
         quant_int8=quant_int8,
         quant_scope=scope,
         quant_dpt=os.environ.get("E3D_QUANT_DPT", "1") == "1",
+        token_sharding=token_sharding,
     )
 
 

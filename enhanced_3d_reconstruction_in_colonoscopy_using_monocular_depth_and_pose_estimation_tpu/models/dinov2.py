@@ -174,6 +174,35 @@ class Attention(nn.Module):
         return out @ w_proj.astype(self.dtype) + b_proj.astype(self.dtype)
 
 
+def _shard_tokens(x: Array, sharding) -> Array:
+    """Pin a (B, N, C) token-activation layout (sequence parallelism).
+
+    ``sharding`` is a concrete ``jax.sharding.NamedSharding`` baked in as
+    a module FIELD at build time (like the int8 knobs: participating in
+    the jit cache key, no trace-time globals). ``None`` = off.
+
+    Axes whose mesh size doesn't divide the corresponding dim are
+    dropped at trace time (shapes are static): jax rejects uneven
+    explicit shardings at jit boundaries, and mid-graph GSPMD would
+    silently ignore them anyway — trimming makes both behave the same
+    (e.g. the batch-1 init trace, or a token count not divisible by the
+    model axis, degrade to the divisible subset of the constraint)."""
+    if sharding is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = sharding.mesh
+    entries = list(sharding.spec) + [None] * (x.ndim - len(sharding.spec))
+    trimmed = [
+        axis if (axis is not None and x.shape[i] % mesh.shape[axis] == 0
+                 and x.shape[i] > 0) else None
+        for i, axis in enumerate(entries[:x.ndim])]
+    if not any(a is not None for a in trimmed):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, PartitionSpec(*trimmed)))
+
+
 class LayerScale(nn.Module):
     dim: int
 
@@ -191,6 +220,12 @@ class Block(nn.Module):
     quant: bool = False
     quant_scope: str = "auto"
     ffn: str = "mlp"  # "mlp" (ratio-4 GELU) | "swiglu" (vit_giant2)
+    # Megatron-style sequence parallelism: residual stream sharded over
+    # (data, model) between blocks — GSPMD then reduce-scatters the TP
+    # row-parallel outputs and all-gathers tokens just-in-time for
+    # attention, instead of keeping full-sequence activations replicated
+    # on every model-axis device. NamedSharding or None (off).
+    token_sharding: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -225,7 +260,8 @@ class Block(nn.Module):
         else:
             y = Mlp(4 * self.dim, self.dim, self.dtype, quant=mlp_q,
                     name="mlp")(y)
-        return x + LayerScale(self.dim, name="ls2")(y)
+        return _shard_tokens(x + LayerScale(self.dim, name="ls2")(y),
+                             self.token_sharding)
 
 
 def _torch_bicubic_matrix(out_size: int, in_size: int,
@@ -303,6 +339,8 @@ class DinoViT(nn.Module):
     quant_scope: str = "auto"
     # FFN variant; "" resolves from VIT_ARCHS (swiglu for vitg).
     ffn: str = ""
+    # Sequence-parallel residual-stream sharding (see Block.token_sharding).
+    token_sharding: Any = None
 
     @nn.compact
     def __call__(self, img: Array, tap_indices: list[int] | None = None
@@ -354,9 +392,12 @@ class DinoViT(nn.Module):
         tap_set = set(taps)
         merge_after = min(taps) if (self.token_merge > 0 and taps) else None
         ffn = self.ffn or arch.get("ffn", "mlp")
+        x = _shard_tokens(x, self.token_sharding)
         for i in range(depth):
             x = block_cls(dim, heads, self.dtype, self.quant_int8,
-                          self.quant_scope, ffn, name=f"blocks_{i}")(x)
+                          self.quant_scope, ffn,
+                          token_sharding=self.token_sharding,
+                          name=f"blocks_{i}")(x)
             if i in tap_set:
                 outputs[i] = x
                 if slot_map is not None:

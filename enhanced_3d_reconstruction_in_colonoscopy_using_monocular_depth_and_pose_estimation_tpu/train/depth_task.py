@@ -70,18 +70,32 @@ class DepthTask:
         fsdp_min_size: int | None = None,
         token_merge: float = 0.0,
         quant_int8: bool = False,
+        seq_parallel: bool = False,
     ):
         # quant_int8 is inference-only (zero gradients through round);
         # it is exposed here so the test/eval CLI can run quantized.
+        self.mesh = device_mesh or meshlib.build_mesh()
+        # Sequence parallelism (Megatron-SP expressed purely as GSPMD
+        # sharding constraints): the ViT residual stream is pinned to
+        # (data, model) between blocks so per-device activations shrink
+        # by the model-axis size and the TP all-reduces become
+        # reduce-scatter + just-in-time all-gather pairs. Numerics are
+        # identical (it is only a layout constraint); a no-op unless the
+        # model axis is >1.
+        self.seq_parallel = bool(seq_parallel)
+        token_sharding = None
+        if self.seq_parallel and self.mesh.shape[meshlib.MODEL_AXIS] > 1:
+            token_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(
+                    meshlib.DATA_AXIS, meshlib.MODEL_AXIS))
         self.model = build_depth_model(
             encoder, max_depth, dtype=policy.compute_dtype,
             grad_checkpoint=grad_checkpoint, token_merge=token_merge,
-            quant_int8=quant_int8)
+            quant_int8=quant_int8, token_sharding=token_sharding)
         self.encoder = encoder
         self.min_depth = float(min_depth)
         self.max_depth = float(max_depth)
         self.grad_accum = int(grad_accum)
-        self.mesh = device_mesh or meshlib.build_mesh()
         self.tensor_parallel = tensor_parallel
         self.fsdp = fsdp
         self.fsdp_min_size = (meshlib.FSDP_MIN_SIZE if fsdp_min_size is None

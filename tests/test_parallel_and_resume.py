@@ -22,11 +22,13 @@ def make_batch(rng, accum=1, mb=8, hw=56):
     }
 
 
-def _run_steps(mesh, tp, batch, n=2):
+def _run_steps(mesh, tp, batch, n=2, sp=False):
     task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
                      grad_accum=1, device_mesh=mesh, policy=POLICY_F32,
-                     grad_checkpoint=False, tensor_parallel=tp)
-    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+                     grad_checkpoint=False, tensor_parallel=tp,
+                     seq_parallel=sp)
+    hw = batch["image"].shape[2]
+    state = task.init_state(jax.random.PRNGKey(0), (hw, hw))
     metrics = None
     for _ in range(n):
         state, metrics = task.train_step(state, batch)
@@ -47,6 +49,42 @@ def test_tensor_parallel_matches_data_parallel(rng):
     leaves_tp = jax.tree.leaves(state_tp.params)
     for a, b in zip(leaves_dp, leaves_tp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_sequence_parallel_matches_data_parallel(rng):
+    """SP is a pure layout constraint: TP+SP training == plain DP.
+
+    42 px -> 1 + 3x3 = 10 tokens, so the token dim REALLY shards over
+    model=2 (a non-divisible count, like the batch-1 init trace, trims
+    to the divisible subset — covered by the same run). Exercises the
+    GSPMD reduce-scatter/all-gather rewrite of the Megatron-SP residual
+    stream end to end (fwd+bwd+optimizer)."""
+    batch = make_batch(rng, hw=42)
+    mesh_dp = build_mesh(MeshSpec(data=8, model=1))
+    mesh_sp = build_mesh(MeshSpec(data=4, model=2))
+    state_dp, m_dp = _run_steps(mesh_dp, False, batch)
+    state_sp, m_sp = _run_steps(mesh_sp, True, batch, sp=True)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_sp["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_dp.params),
+                    jax.tree.leaves(state_sp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_seq_parallel_constraint_is_built_in():
+    """The token sharding is a build-time model field (jit-cache-keyed,
+    like the int8 knobs) and resolves only when the model axis is >1."""
+    mesh_sp = build_mesh(MeshSpec(data=4, model=2))
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=4,
+                     device_mesh=mesh_sp, policy=POLICY_F32,
+                     grad_checkpoint=False, seq_parallel=True)
+    sh = task.model.token_sharding
+    assert sh is not None and "model" in str(sh.spec), sh
+    mesh_dp = build_mesh(MeshSpec(data=8, model=1))
+    task_noop = DepthTask(encoder="vitt", max_depth=20.0, total_steps=4,
+                          device_mesh=mesh_dp, policy=POLICY_F32,
+                          grad_checkpoint=False, seq_parallel=True)
+    assert task_noop.model.token_sharding is None
 
 
 def test_tp_shards_vit_params():
