@@ -149,15 +149,18 @@ def test_train_depth_profile_and_nan_flags(simcol_root, tmp_path,
 
 
 def test_train_depth_cli_tp2_mesh(simcol_root, tmp_path, monkeypatch):
-    """TP is reachable from the CLI (VERDICT r2 next #1): a (data=4,
-    model=2) mesh with tensor_parallel=true trains for 2 steps on the
-    8-device mesh and writes finite metrics."""
+    """TP+SP are reachable from the CLI (VERDICT r2 next #1): a (data=4,
+    model=2) mesh with tensor_parallel=true + seq_parallel=true trains
+    for 2 steps on the 8-device mesh and writes finite metrics. 42 px →
+    1 + 3x3 = 10 tokens, so the sequence-parallel residual-stream
+    constraint really shards the token dim over model=2."""
     from e3d_tpu.cli import train_depth
 
     monkeypatch.chdir(tmp_path)
     monkeypatch.setenv("E3D_CONFIG_ROOT", CONFIG_ROOT)
     train_depth.main(_dataset_overrides(simcol_root) + [
         "dataset.batch_size=4",
+        "dataset.size=42",
         "model.encoder=vitt",
         "model.use_checkpoint=false",
         "trainer.max_epochs=1",
@@ -166,6 +169,7 @@ def test_train_depth_cli_tp2_mesh(simcol_root, tmp_path, monkeypatch):
         "trainer.mesh_data=4",
         "trainer.mesh_model=2",
         "trainer.tensor_parallel=true",
+        "trainer.seq_parallel=true",
         "++trainer.max_steps=2",
     ])
     exp_dirs = list((tmp_path / "configs" / "experiments" / "simcol")
