@@ -21,6 +21,37 @@ import time
 import numpy as np
 
 
+class _ReadRetryTracker:
+    """Decide when to give up on a file cv2 can't decode.
+
+    A mid-upload partial file must be retried until it stops growing (a
+    multi-MB scp can span many poll cycles); a genuinely corrupt file must
+    not claim its output stem or spin forever. Policy: give up only after
+    ``patience`` consecutive failed reads of a file whose (size, mtime)
+    signature did not change between polls — any change resets the count.
+    """
+
+    def __init__(self, patience: int = 3):
+        self.patience = patience
+        # path -> (consecutive failures of an unchanged file, signature)
+        self._fails: dict[str, tuple[int, tuple[int, int]]] = {}
+
+    def note_failure(self, path: str) -> bool:
+        """Record a failed read; True = stable-and-unreadable, give up."""
+        try:
+            st = os.stat(path)
+            sig = (st.st_size, st.st_mtime_ns)
+        except OSError:
+            return False  # deleted mid-poll; drops out at the next scan
+        count, prev_sig = self._fails.get(path, (0, None))
+        count = count + 1 if sig == prev_sig else 1
+        self._fails[path] = (count, sig)
+        return count >= self.patience
+
+    def prune(self, current: set[str]) -> None:
+        self._fails = {p: v for p, v in self._fails.items() if p in current}
+
+
 def main(argv=None) -> None:
     import cv2
 
@@ -59,7 +90,7 @@ def main(argv=None) -> None:
     os.makedirs(args.outdir, exist_ok=True)
     processed: set[str] = set()
     stem_owner: dict[str, str] = {}  # guard a.png / a.jpg output collision
-    read_failures: dict[str, int] = {}
+    retries = _ReadRetryTracker()
 
     def out_paths(path: str):
         stem = os.path.splitext(os.path.basename(path))[0]
@@ -82,8 +113,7 @@ def main(argv=None) -> None:
             processed &= current
             stem_owner = {s: p for s, p in stem_owner.items()
                           if p in current}
-            read_failures = {p: n for p, n in read_failures.items()
-                             if p in current}
+            retries.prune(current)
             fresh = [f for f in frames
                      if f not in processed
                      and not os.path.exists(out_paths(f)[0])]
@@ -93,11 +123,10 @@ def main(argv=None) -> None:
                 for path in fresh[start:start + chunk]:
                     raw = cv2.imread(path)
                     if raw is None:
-                        # Possibly a mid-upload partial file: retry a few
-                        # polls, then give up (an unreadable file must not
-                        # claim the output stem or spin forever).
-                        read_failures[path] = read_failures.get(path, 0) + 1
-                        if read_failures[path] >= 3 and not args.once:
+                        # Possibly a mid-upload partial file: retry while it
+                        # is still changing; give up only once it is stable
+                        # AND unreadable (see _ReadRetryTracker).
+                        if retries.note_failure(path) and not args.once:
                             print(f"[serve] giving up on unreadable {path}")
                             processed.add(path)
                         continue

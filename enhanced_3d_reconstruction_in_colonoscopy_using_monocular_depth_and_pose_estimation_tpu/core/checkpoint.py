@@ -58,10 +58,17 @@ class CheckpointManager:
         metrics = {k: float(v) for k, v in metrics.items()}
         self._mgr.save(int(step), args=ocp.args.StandardSave(state),
                        metrics=metrics)
+        self._mgr.wait_until_finished()
         if self._latest_mgr is not None:
-            self._latest_mgr.save(int(step),
-                                  args=ocp.args.StandardSave(state))
-            self._latest_mgr.wait_until_finished()
+            # Skip the latest/ write when the best-k store retained this
+            # step (an improving run would otherwise serialize every save
+            # twice); ``_latest`` takes the newest step ACROSS both stores,
+            # so a stale latest/ slot older than the retained best is
+            # never resumed from.
+            if int(step) not in set(self._mgr.all_steps()):
+                self._latest_mgr.save(int(step),
+                                      args=ocp.args.StandardSave(state))
+                self._latest_mgr.wait_until_finished()
             # Orbax only persists per-step metrics under a best_fn (which
             # would turn the latest slot into another best slot) — keep
             # the latest save's metrics in a sidecar JSON instead.
@@ -69,7 +76,6 @@ class CheckpointManager:
             with open(tmp, "w", encoding="utf-8") as f:
                 json.dump({"step": int(step), **metrics}, f)
             os.replace(tmp, self._latest_metrics_path)
-        self._mgr.wait_until_finished()
 
     def best_step(self) -> int | None:
         return self._mgr.best_step()
@@ -118,15 +124,55 @@ class CheckpointManager:
         mgr, step = owner
         return mgr.restore(step, args=ocp.args.StandardRestore(template))
 
+    @staticmethod
+    def _restore_untyped(mgr: Any, step: int) -> Any:
+        """Template-less restore that ignores the SAVED shardings.
+
+        A bare ``mgr.restore(step)`` replays the sharding metadata
+        recorded at save time and refuses when the device topology
+        changed — but the prime consumer is exactly that case: train on
+        an N-chip mesh, then serve/infer on one chip. Reading every leaf
+        as a host array through a raw PyTree checkpointer sidesteps the
+        topology check (the manager API can't: a fresh process has no
+        handler registered for the item, so ``item_metadata`` is empty);
+        callers ``device_put`` with their own shardings."""
+        import jax
+        import numpy as np
+
+        path = os.path.join(str(mgr.directory), str(step), "default")
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        meta = ckptr.metadata(path)
+        tree = getattr(meta, "item_metadata", meta)
+        tree = getattr(tree, "tree", tree)
+        # None leaves (e.g. serialized optax EmptyState) are empty
+        # subtrees for tree.map, so the restore_args structure matches.
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+
     def restore_latest_untyped(self) -> Any | None:
         """Restore the latest checkpoint without a template (as saved —
-        nested dicts of numpy arrays). Lets inference CLIs read training
-        output without constructing an optimizer state."""
+        nested dicts of host arrays). Lets inference CLIs read training
+        output without constructing an optimizer state, on any device
+        topology."""
         owner = self._latest()
         if owner is None:
             return None
         mgr, step = owner
-        return mgr.restore(step)
+        return self._restore_untyped(mgr, step)
+
+    def restore_best_untyped(self) -> Any | None:
+        """Best-val checkpoint without a template, latest fallback.
+
+        Inference CLIs serve the best-val weights — the reference's
+        ``ModelCheckpoint(save_top_k=1)`` + load flow
+        (``main_lightning.py:109-115``) — not the possibly-plateaued
+        final save that true mid-run-resume ``restore_latest`` returns."""
+        step = self.best_step()
+        if step is not None:
+            return self._restore_untyped(self._mgr, step)
+        return self.restore_latest_untyped()
 
     def close(self) -> None:
         self._mgr.close()

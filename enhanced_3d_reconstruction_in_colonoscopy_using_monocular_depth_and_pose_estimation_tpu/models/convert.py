@@ -55,7 +55,9 @@ def load_or_init_depth_params(encoder: str, max_depth: float,
         # Orbax checkpoint dir — our own training output (core.checkpoint).
         from ..core.checkpoint import CheckpointManager
 
-        restored = CheckpointManager(load_from).restore_latest_untyped()
+        # Best-val weights (latest fallback) — matching test_depth and the
+        # reference's best-checkpoint test/serve flow.
+        restored = CheckpointManager(load_from).restore_best_untyped()
         if restored is None:
             raise FileNotFoundError(f"no checkpoints in {load_from}")
         params = (restored["params"] if isinstance(restored, dict)

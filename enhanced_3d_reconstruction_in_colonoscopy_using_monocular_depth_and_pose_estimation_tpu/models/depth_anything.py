@@ -69,6 +69,11 @@ class DepthAnythingV2(nn.Module):
     # Sequence-parallel residual-stream sharding for the ViT trunk
     # (NamedSharding over (data, model) or None; see dinov2.Block).
     token_sharding: Any = None
+    # How many ways the batch dim is sharded at the jit boundary (the
+    # data mesh axis under DP/TP, 1 when the batch sits on one device) —
+    # the int8 auto scope thresholds on the PER-DEVICE batch, which the
+    # traced global shape alone can't tell (see dinov2.Block).
+    data_shards: int = 1
 
     @nn.compact
     def __call__(self, img: Array) -> Array:
@@ -77,6 +82,7 @@ class DepthAnythingV2(nn.Module):
         taps = DinoViT(self.encoder, self.dtype, self.grad_checkpoint,
                        self.token_merge, self.quant_int8, self.quant_scope,
                        token_sharding=self.token_sharding,
+                       data_shards=self.data_shards,
                        name="pretrained")(img)
         depth01 = DPTHead(VIT_ARCHS[self.encoder]["embed_dim"], self.features,
                           tuple(self.out_channels), self.dtype,
@@ -93,7 +99,8 @@ def build_depth_model(encoder: str, max_depth: float,
                       grad_checkpoint: bool = False,
                       token_merge: float = 0.0,
                       quant_int8: bool = False,
-                      token_sharding: Any = None) -> DepthAnythingV2:
+                      token_sharding: Any = None,
+                      data_shards: int = 1) -> DepthAnythingV2:
     cfg = MODEL_CONFIGS[encoder]
     scope = os.environ.get("E3D_QUANT_SCOPE", "auto")
     if scope not in _QUANT_SCOPES:
@@ -113,6 +120,7 @@ def build_depth_model(encoder: str, max_depth: float,
         quant_scope=scope,
         quant_dpt=os.environ.get("E3D_QUANT_DPT", "1") == "1",
         token_sharding=token_sharding,
+        data_shards=max(1, int(data_shards)),
     )
 
 
@@ -215,11 +223,14 @@ def infer_images_batched(model: DepthAnythingV2, params,
             raise ValueError("infer_images_batched requires equal "
                              "resolutions; use infer_image for mixed sizes")
     net_hw = _lower_bound_hw(h, w, input_size)
-    model_static = _ModelThunk(model)
 
     n_dev = jax.device_count()
     use_dp = (n_dev > 1 if data_parallel is None else data_parallel)
     use_dp = use_dp and n_dev > 1 and batch_size % n_dev == 0
+    # The int8 auto scope keys on the PER-DEVICE batch: under DP the
+    # batch spreads over n_dev chips, otherwise it sits on one.
+    model_static = _ModelThunk(
+        model.clone(data_shards=n_dev if use_dp else 1))
     if use_dp:
         run_j, rep = _dp_runner(net_hw, (h, w), model_static, n_dev)
         params = jax.device_put(params, rep)
@@ -252,7 +263,8 @@ class _ModelThunk:
         self._key = (model.encoder, model.features, tuple(model.out_channels),
                      float(model.max_depth), str(model.dtype),
                      model.grad_checkpoint, float(model.token_merge),
-                     model.quant_int8, model.quant_scope, model.quant_dpt)
+                     model.quant_int8, model.quant_scope, model.quant_dpt,
+                     model.token_sharding, int(model.data_shards))
 
     def __call__(self) -> DepthAnythingV2:
         return self._model

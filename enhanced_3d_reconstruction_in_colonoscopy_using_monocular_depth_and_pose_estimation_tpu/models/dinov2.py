@@ -226,6 +226,12 @@ class Block(nn.Module):
     # attention, instead of keeping full-sequence activations replicated
     # on every model-axis device. NamedSharding or None (off).
     token_sharding: Any = None
+    # Ways the batch dim is sharded at the jit boundary (1 = whole batch
+    # on one device). Set by the caller that knows the actual sharding
+    # (DepthTask: the data mesh axis; infer_images_batched: n_dev iff its
+    # DP path engaged) — jax.device_count() would overcount for
+    # replicated batches or meshes with a model axis.
+    data_shards: int = 1
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -237,13 +243,11 @@ class Block(nn.Module):
         # bs8/16/32 (+14/7.8/13.9%) but the attention projections LOSE
         # 22 ms at bs64, where bf16 GEMMs already run at peak
         # efficiency. "auto" quantizes the MLP always and attention only
-        # when the (trace-time static) PER-DEVICE batch is <= 32 — under
-        # data-parallel serving the global batch is sharded over
-        # jax.device_count() chips, and the threshold was measured
-        # per-chip.
+        # when the (trace-time static) PER-DEVICE batch is <= 32; the
+        # global batch dim spreads over ``data_shards`` devices.
         scope = self.quant_scope
         if scope == "auto":
-            scope = ("all" if x.shape[0] <= 32 * jax.device_count()
+            scope = ("all" if x.shape[0] <= 32 * max(1, self.data_shards)
                      else "mlp")
         attn_q = self.quant and scope in ("all", "attn")
         mlp_q = self.quant and scope in ("all", "mlp")
@@ -341,6 +345,8 @@ class DinoViT(nn.Module):
     ffn: str = ""
     # Sequence-parallel residual-stream sharding (see Block.token_sharding).
     token_sharding: Any = None
+    # Batch-dim shard count for the int8 auto scope (see Block.data_shards).
+    data_shards: int = 1
 
     @nn.compact
     def __call__(self, img: Array, tap_indices: list[int] | None = None
@@ -397,6 +403,7 @@ class DinoViT(nn.Module):
             x = block_cls(dim, heads, self.dtype, self.quant_int8,
                           self.quant_scope, ffn,
                           token_sharding=self.token_sharding,
+                          data_shards=self.data_shards,
                           name=f"blocks_{i}")(x)
             if i in tap_set:
                 outputs[i] = x

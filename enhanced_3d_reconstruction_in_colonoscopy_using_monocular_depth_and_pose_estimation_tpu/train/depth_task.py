@@ -91,7 +91,10 @@ class DepthTask:
         self.model = build_depth_model(
             encoder, max_depth, dtype=policy.compute_dtype,
             grad_checkpoint=grad_checkpoint, token_merge=token_merge,
-            quant_int8=quant_int8, token_sharding=token_sharding)
+            quant_int8=quant_int8, token_sharding=token_sharding,
+            # Eval/test batches are sharded over the data axis, so the
+            # int8 auto scope sees the true per-device batch.
+            data_shards=self.mesh.shape[meshlib.DATA_AXIS])
         self.encoder = encoder
         self.min_depth = float(min_depth)
         self.max_depth = float(max_depth)

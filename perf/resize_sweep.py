@@ -32,9 +32,22 @@ from perf._timing import time_fn  # noqa: E402
 
 from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.ops.resize import (  # noqa: E501
     _align_corners_matrix,
-    _align_corners_taps,
     resize_align_corners,
 )
+
+
+def _align_corners_taps(n_in: int, n_out: int):
+    """2-tap align-corners bilinear taps: (lo indices, fractions).
+
+    Local to the sweep (the gather-based production path this once backed
+    was removed from ops/resize.py as a measured dead end; the harness
+    keeps the variant reproducible)."""
+    if n_out == 1 or n_in == 1:
+        coords = np.zeros(n_out, dtype=np.float64)
+    else:
+        coords = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(coords).astype(np.int64), 0, max(n_in - 2, 0))
+    return lo, (coords - lo).astype(np.float32)
 
 B = 8
 

@@ -26,9 +26,15 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
     if nprocs > 1:
+        # shutdown_timeout matches the parent's per-worker budget: the
+        # final per-process eval compiles can skew the two workers by
+        # minutes on a loaded machine, and the default 300 s shutdown
+        # barrier then kills the fast one (observed under a concurrent
+        # bench + full-suite run).
         jax.distributed.initialize(
             coordinator_address=f"localhost:{port}",
-            num_processes=nprocs, process_id=pid)
+            num_processes=nprocs, process_id=pid,
+            shutdown_timeout_seconds=900)
     assert len(jax.devices()) == 8, jax.devices()
 
     import numpy as np

@@ -1,5 +1,7 @@
 """Tensor-parallel equivalence + checkpoint save/restore round trips."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -164,6 +166,79 @@ def test_resume_gets_true_latest_not_best(tmp_path, rng):
     mgr2 = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
     assert mgr2.latest_step() == 2 and mgr2.best_step() == 1
     mgr2.close()
+
+
+def test_inference_load_serves_best_and_latest_write_is_skipped(tmp_path):
+    """Two round-3 review regressions in one sequence:
+
+    - ``restore_best_untyped`` (what infer/serve/pointcloud_model load via
+      ``load_or_init_depth_params``) returns the BEST-val save, not the
+      possibly-plateaued newest one — matching ``test_depth`` and the
+      reference's best-checkpoint flow.
+    - an improving save retained by the best-k store skips the duplicate
+      ``latest/`` serialization (each save was written twice before), and
+      ``latest_step``/``restore_latest`` still track the true newest save
+      through improve -> worsen -> improve, including across a reopen."""
+    def st(step):
+        return {"params": {"w": np.arange(4.0) + step},
+                "step": np.asarray(step, np.int32)}
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
+    mgr.save(1, st(1), {"val_loss": 1.0})
+    latest_dir = tmp_path / "ckpt" / "latest"
+    assert not any(p.name.isdigit() for p in latest_dir.iterdir()
+                   if p.is_dir()), "best-retained save also wrote latest/"
+    mgr.save(2, st(2), {"val_loss": 2.0})     # worse -> latest/ slot
+    mgr.save(3, st(3), {"val_loss": 0.5})     # better -> best store only
+    mgr.save(4, st(4), {"val_loss": 5.0})     # plateau -> latest/ slot
+    assert mgr.best_step() == 3 and mgr.latest_step() == 4
+    assert int(mgr.restore_best_untyped()["step"]) == 3
+    assert int(mgr.restore_latest(st(0))["step"]) == 4
+    assert mgr.latest_metrics()["val_loss"] == 5.0
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
+    assert mgr2.best_step() == 3 and mgr2.latest_step() == 4
+    assert int(mgr2.restore_best_untyped()["step"]) == 3
+    mgr2.close()
+
+
+def test_untyped_restore_across_device_topologies(tmp_path):
+    """Train on an N-chip mesh, serve on one chip: the untyped restores
+    must ignore the SAVED shardings (a bare orbax ``restore(step)``
+    replays them and refuses when the device topology changed — the
+    exact production flow of ``load_or_init_depth_params``)."""
+    import subprocess
+    import sys
+
+    mesh = build_mesh(MeshSpec(data=4, model=2))
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    w = jax.device_put(np.arange(32.0, dtype=np.float32).reshape(8, 4), sh)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
+    mgr.save(1, {"params": {"w": w}}, {"val_loss": 1.0})
+    mgr.close()
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, numpy as np\n"
+        "import e3d_tpu\n"
+        "from e3d_tpu.core.checkpoint import CheckpointManager\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "out = CheckpointManager(sys.argv[1]).restore_best_untyped()\n"
+        "w = np.asarray(out['params']['w'])\n"
+        "np.testing.assert_array_equal(\n"
+        "    w, np.arange(32.0, dtype=np.float32).reshape(8, 4))\n"
+        "print('OK')\n"
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # single CPU device
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", code, str(tmp_path / "ckpt")],
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))),
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "OK" in r.stdout, r.stdout + r.stderr
 
 
 def test_prefetch_loader_reshuffles_across_epochs():

@@ -48,3 +48,30 @@ def test_serve_cli_once(tmp_path):
     assert np.isfinite(d8).all()
     rel = np.abs(d8 - d0).mean() / max(np.abs(d0).mean(), 1e-6)
     assert rel < 0.1, rel
+
+
+def test_serve_retry_tracker_waits_for_stable_file(tmp_path):
+    """A slow multi-poll upload must be retried until the file stops
+    changing; only a STABLE unreadable file is given up on (round-3
+    review: the old fixed 3-strikes counter dropped any frame whose
+    upload outlasted ~3 polls)."""
+    from e3d_tpu.cli.serve import _ReadRetryTracker
+
+    path = tmp_path / "partial.png"
+    t = _ReadRetryTracker(patience=3)
+    # Upload in progress: size keeps growing -> never gives up.
+    for _ in range(10):
+        with open(path, "ab") as f:
+            f.write(b"x" * 100)
+        assert t.note_failure(str(path)) is False
+    # File stabilized but stays unreadable (corrupt): 3 strikes.
+    os.utime(path, ns=(0, 0))  # freeze mtime so signatures repeat
+    assert t.note_failure(str(path)) is False
+    assert t.note_failure(str(path)) is False
+    assert t.note_failure(str(path)) is True
+    # Deleted mid-poll: transient, not a give-up.
+    os.remove(path)
+    assert t.note_failure(str(path)) is False
+    # prune drops bookkeeping for files no longer present.
+    t.prune(set())
+    assert not t._fails
