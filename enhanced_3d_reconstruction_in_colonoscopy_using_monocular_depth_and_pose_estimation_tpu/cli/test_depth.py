@@ -113,6 +113,8 @@ def main(argv: list[str] | None = None) -> None:
         seq_parallel=seq_parallel,
         token_merge=float(cfg.model.get("token_merge", 0.0)),
         quant_int8=bool(cfg.model.get("quant_int8", False)),
+        pipeline_parallel=int(cfg.trainer.get("pipeline_parallel", 0)),
+        pipe_microbatches=int(cfg.trainer.get("pipe_microbatches", 0)),
     )
     params = load_params(checkpoint_path, cfg.model.encoder, task,
                          size=int(cfg.dataset.size))

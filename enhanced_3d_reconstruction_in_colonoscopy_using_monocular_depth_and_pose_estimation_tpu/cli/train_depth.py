@@ -121,6 +121,8 @@ def main(argv: list[str] | None = None) -> None:
         fsdp_min_size=(int(cfg.trainer.get("fsdp_min_size"))
                        if cfg.trainer.get("fsdp_min_size") is not None
                        else None),
+        pipeline_parallel=int(cfg.trainer.get("pipeline_parallel", 0)),
+        pipe_microbatches=int(cfg.trainer.get("pipe_microbatches", 0)),
     )
 
     # Encoder bootstrap from the DAv2 metric checkpoint, when present

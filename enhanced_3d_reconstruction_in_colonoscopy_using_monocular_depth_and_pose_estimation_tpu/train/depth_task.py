@@ -71,6 +71,8 @@ class DepthTask:
         token_merge: float = 0.0,
         quant_int8: bool = False,
         seq_parallel: bool = False,
+        pipeline_parallel: int = 0,
+        pipe_microbatches: int = 0,
     ):
         # quant_int8 is inference-only (zero gradients through round);
         # it is exposed here so the test/eval CLI can run quantized.
@@ -98,6 +100,32 @@ class DepthTask:
         self.encoder = encoder
         self.min_depth = float(min_depth)
         self.max_depth = float(max_depth)
+        # Pipeline parallelism (GPipe over the model axis; see
+        # parallel/pipeline.py). An explicit schedule, not a sharding —
+        # mutually exclusive with the modes that give the mesh axes other
+        # jobs, and with the trunk-rewriting speed dials.
+        self.pipeline_parallel = int(pipeline_parallel)
+        if self.pipeline_parallel > 1:
+            if tensor_parallel or seq_parallel or fsdp:
+                raise ValueError("pipeline_parallel is mutually exclusive "
+                                 "with tensor_parallel/seq_parallel/fsdp")
+            if token_merge > 0 or quant_int8:
+                raise ValueError("pipeline_parallel does not compose with "
+                                 "token_merge/quant_int8")
+            if self.mesh.shape[meshlib.MODEL_AXIS] != self.pipeline_parallel:
+                raise ValueError(
+                    f"pipeline_parallel={self.pipeline_parallel} needs "
+                    f"mesh_model={self.pipeline_parallel} (got "
+                    f"{self.mesh.shape[meshlib.MODEL_AXIS]})")
+            from ..parallel.pipeline import build_pp_depth_forward
+
+            self.pipe_microbatches = (int(pipe_microbatches)
+                                      or self.pipeline_parallel)
+            self._pp_forward = build_pp_depth_forward(
+                self.model, self.mesh, self.pipeline_parallel,
+                self.pipe_microbatches)
+        else:
+            self._pp_forward = None
         self.grad_accum = int(grad_accum)
         self.tensor_parallel = tensor_parallel
         self.fsdp = fsdp
@@ -195,8 +223,23 @@ class DepthTask:
 
     # ------------------------------------------------------------- loss core
 
+    def _forward(self, params, image):
+        """Model forward — the GPipe-pipelined trunk when enabled.
+
+        The pipeline needs the (static) batch to divide data-axis x
+        microbatches; shapes that don't (trailing eval batches the loader
+        couldn't pad) fall back to the plain forward at trace time —
+        numerics are identical either way (test_pipeline_parallel.py).
+        """
+        if self._pp_forward is not None:
+            divisor = (self.mesh.shape[meshlib.DATA_AXIS]
+                       * self.pipe_microbatches)
+            if image.shape[0] % divisor == 0:
+                return self._pp_forward(params, image)
+        return self.model.apply({"params": params}, image)
+
     def _loss_and_metrics(self, params, image, depth, max_depth_arr):
-        pred = self.model.apply({"params": params}, image)  # (b, h, w)
+        pred = self._forward(params, image)  # (b, h, w)
         gt = depth[..., 0] if depth.ndim == 4 else depth
         maxd = max_depth_arr[:, None, None]
         mask = (gt >= self.min_depth) & (gt <= maxd)
@@ -364,7 +407,7 @@ class DepthTask:
         """
         if not hasattr(self, "_eval_combined"):
             def step_fn(params, batch):
-                pred = self.model.apply({"params": params}, batch["image"])
+                pred = self._forward(params, batch["image"])
                 gt = batch["depth"][..., 0]
                 maxd = batch["max_depth"][:, None, None]
                 mask = (gt >= self.min_depth) & (gt <= maxd)
@@ -403,7 +446,7 @@ class DepthTask:
         """
         if not hasattr(self, "_eval_per_sample"):
             def step_fn(params, batch):
-                pred = self.model.apply({"params": params}, batch["image"])
+                pred = self._forward(params, batch["image"])
                 gt = (batch["depth"][..., 0] if batch["depth"].ndim == 4
                       else batch["depth"])
                 maxd = batch.get(
@@ -428,7 +471,7 @@ class DepthTask:
             # Cached: a fresh jit(lambda) per call would retrace and
             # recompile the full model on every batch.
             self._predict = jax.jit(
-                lambda p, x: self.model.apply({"params": p}, x))
+                lambda p, x: self._forward(p, x))
         return self._predict(params, image)
 
 

@@ -180,6 +180,41 @@ def test_train_depth_cli_tp2_mesh(simcol_root, tmp_path, monkeypatch):
     assert losses and all(np.isfinite(v) for v in losses)
 
 
+def test_train_depth_cli_pipeline_parallel(simcol_root, tmp_path,
+                                            monkeypatch):
+    """GPipe pipeline parallelism is reachable from the CLI
+    (trainer.pipeline_parallel + mesh_model): 2 steps on a (4, 2) mesh
+    with the vitt blocks split into 2 stages, finite loss (incl. the
+    half-epoch val pass, whose trailing batches exercise the trace-time
+    fallback). One microbatch per shard-batch: the 12-frame fixture can't
+    fill batch 8; multi-microbatch numerics live in
+    test_pipeline_parallel.py."""
+    from e3d_tpu.cli import train_depth
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("E3D_CONFIG_ROOT", CONFIG_ROOT)
+    train_depth.main(_dataset_overrides(simcol_root) + [
+        "dataset.batch_size=4",
+        "dataset.size=42",
+        "model.encoder=vitt",
+        "model.use_checkpoint=false",
+        "trainer.max_epochs=1",
+        "trainer.accumulate_grad_batches=1",
+        "trainer.precision=32-true",
+        "trainer.mesh_data=4",
+        "trainer.mesh_model=2",
+        "trainer.pipeline_parallel=2",
+        "++trainer.pipe_microbatches=1",
+        "++trainer.max_steps=2",
+    ])
+    exp_dirs = list((tmp_path / "configs" / "experiments" / "simcol")
+                    .iterdir())
+    lines = [json.loads(line) for line in
+             (exp_dirs[0] / "metrics.jsonl").read_text().splitlines()]
+    losses = [rec["train_loss"] for rec in lines if "train_loss" in rec]
+    assert losses and all(np.isfinite(v) for v in losses)
+
+
 def test_train_depth_cli_fsdp(simcol_root, tmp_path, monkeypatch):
     """FSDP/ZeRO is reachable from the CLI (trainer.fsdp=true): 2 steps
     on the 8-device mesh with params+moments data-sharded, finite loss."""
