@@ -22,13 +22,17 @@ import numpy as np
 
 
 class _ReadRetryTracker:
-    """Decide when to give up on a file cv2 can't decode.
+    """Decide when to stop re-reading a file cv2 can't decode.
 
     A mid-upload partial file must be retried until it stops growing (a
     multi-MB scp can span many poll cycles); a genuinely corrupt file must
-    not claim its output stem or spin forever. Policy: give up only after
-    ``patience`` consecutive failed reads of a file whose (size, mtime)
-    signature did not change between polls — any change resets the count.
+    not claim its output stem or burn a decode attempt every poll. Policy:
+    after ``patience`` consecutive failed reads of a file whose
+    (size, mtime) signature did not change between polls, PARK it — skip
+    the decode (one cheap ``os.stat`` per poll instead) until the
+    signature changes again (a stalled upload that later resumes is picked
+    back up; a truly corrupt file costs nothing). Nothing is ever
+    permanently dropped.
     """
 
     def __init__(self, patience: int = 3):
@@ -36,17 +40,38 @@ class _ReadRetryTracker:
         # path -> (consecutive failures of an unchanged file, signature)
         self._fails: dict[str, tuple[int, tuple[int, int]]] = {}
 
-    def note_failure(self, path: str) -> bool:
-        """Record a failed read; True = stable-and-unreadable, give up."""
+    def _sig(self, path: str):
         try:
             st = os.stat(path)
-            sig = (st.st_size, st.st_mtime_ns)
         except OSError:
-            return False  # deleted mid-poll; drops out at the next scan
+            return None  # deleted mid-poll; drops out at the next scan
+        return (st.st_size, st.st_mtime_ns)
+
+    def note_failure(self, path: str) -> bool:
+        """Record a failed read; True = just became stable-and-unreadable
+        (fires once — the caller logs, then ``parked`` takes over)."""
+        sig = self._sig(path)
+        if sig is None:
+            return False
         count, prev_sig = self._fails.get(path, (0, None))
         count = count + 1 if sig == prev_sig else 1
         self._fails[path] = (count, sig)
-        return count >= self.patience
+        return count == self.patience
+
+    def parked(self, path: str) -> bool:
+        """True = stable-and-unreadable at the recorded signature; skip
+        the decode this poll. A changed signature un-parks the file."""
+        count, prev_sig = self._fails.get(path, (0, None))
+        if count < self.patience:
+            return False
+        sig = self._sig(path)
+        if sig == prev_sig:
+            return True
+        self._fails.pop(path, None)  # resumed upload / rewrite: retry
+        return False
+
+    def clear(self, path: str) -> None:
+        self._fails.pop(path, None)
 
     def prune(self, current: set[str]) -> None:
         self._fails = {p: v for p, v in self._fails.items() if p in current}
@@ -121,15 +146,19 @@ def main(argv=None) -> None:
             for start in range(0, len(fresh), chunk):
                 inflight = []
                 for path in fresh[start:start + chunk]:
+                    if retries.parked(path):
+                        continue  # stable-and-unreadable; stat-only skip
                     raw = cv2.imread(path)
                     if raw is None:
-                        # Possibly a mid-upload partial file: retry while it
-                        # is still changing; give up only once it is stable
-                        # AND unreadable (see _ReadRetryTracker).
-                        if retries.note_failure(path) and not args.once:
-                            print(f"[serve] giving up on unreadable {path}")
-                            processed.add(path)
+                        # Possibly a mid-upload partial file: retry while
+                        # it is still changing; once stable AND unreadable
+                        # it is parked until its signature changes again
+                        # (see _ReadRetryTracker — never dropped for good).
+                        if retries.note_failure(path):
+                            print(f"[serve] parking unreadable {path} "
+                                  f"(will retry if it changes)")
                         continue
+                    retries.clear(path)
                     stem = os.path.splitext(os.path.basename(path))[0]
                     owner = stem_owner.setdefault(stem, path)
                     if owner != path:

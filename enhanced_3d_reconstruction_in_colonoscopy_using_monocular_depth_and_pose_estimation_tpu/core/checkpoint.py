@@ -44,31 +44,49 @@ class CheckpointManager:
         )
         self._monitor = monitor
         self._mgr = ocp.CheckpointManager(directory, options=options)
-        # Nested non-step dirs are ignored by the parent's step scan
-        # (verified against the pinned orbax).
-        self._latest_mgr = ocp.CheckpointManager(
-            os.path.join(directory, "latest"),
-            options=ocp.CheckpointManagerOptions(max_to_keep=1,
-                                                 create=True),
-        ) if track_latest else None
-        self._latest_metrics_path = os.path.join(directory, "latest",
+        self._track_latest = track_latest
+        self._latest_dir = os.path.join(directory, "latest")
+        self._latest_mgr = None
+        self._latest_metrics_path = os.path.join(self._latest_dir,
                                                  "metrics.json")
+
+    def _get_latest_mgr(self, create: bool):
+        """The ``latest/`` sub-manager, built lazily.
+
+        Read-only consumers (infer/serve loading another run's checkpoint
+        dir, possibly on a read-only mount) must not mkdir inside it —
+        with ``create=False`` a missing ``latest/`` simply means "no
+        latest slot" (pre-``latest/`` dirs, or a run that never plateaued).
+        Nested non-step dirs are ignored by the parent's step scan
+        (verified against the pinned orbax)."""
+        if not self._track_latest:
+            return None
+        if self._latest_mgr is None:
+            if not create and not os.path.isdir(self._latest_dir):
+                return None
+            self._latest_mgr = ocp.CheckpointManager(
+                self._latest_dir,
+                options=ocp.CheckpointManagerOptions(max_to_keep=1,
+                                                     create=True),
+            )
+        return self._latest_mgr
 
     def save(self, step: int, state: Any, metrics: dict[str, float]) -> None:
         metrics = {k: float(v) for k, v in metrics.items()}
         self._mgr.save(int(step), args=ocp.args.StandardSave(state),
                        metrics=metrics)
         self._mgr.wait_until_finished()
-        if self._latest_mgr is not None:
+        latest_mgr = self._get_latest_mgr(create=True)
+        if latest_mgr is not None:
             # Skip the latest/ write when the best-k store retained this
             # step (an improving run would otherwise serialize every save
             # twice); ``_latest`` takes the newest step ACROSS both stores,
             # so a stale latest/ slot older than the retained best is
             # never resumed from.
             if int(step) not in set(self._mgr.all_steps()):
-                self._latest_mgr.save(int(step),
-                                      args=ocp.args.StandardSave(state))
-                self._latest_mgr.wait_until_finished()
+                latest_mgr.save(int(step),
+                                args=ocp.args.StandardSave(state))
+                latest_mgr.wait_until_finished()
             # Orbax only persists per-step metrics under a best_fn (which
             # would turn the latest slot into another best slot) — keep
             # the latest save's metrics in a sidecar JSON instead.
@@ -84,8 +102,9 @@ class CheckpointManager:
         """(owning manager, step) of the newest save across both stores
         (pre-``latest/`` checkpoint dirs only have the best-k store)."""
         cands = [(self._mgr, self._mgr.latest_step())]
-        if self._latest_mgr is not None:
-            cands.append((self._latest_mgr, self._latest_mgr.latest_step()))
+        latest_mgr = self._get_latest_mgr(create=False)
+        if latest_mgr is not None:
+            cands.append((latest_mgr, latest_mgr.latest_step()))
         cands = [(m, s) for m, s in cands if s is not None]
         return max(cands, key=lambda ms: ms[1]) if cands else None
 
@@ -176,7 +195,7 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
-        if self._latest_mgr is not None:
+        if self._latest_mgr is not None:  # only if actually opened
             self._latest_mgr.close()
 
 

@@ -126,6 +126,7 @@ class DepthTask:
                 self.pipe_microbatches)
         else:
             self._pp_forward = None
+        self._model_repl = None  # data_shards=1 clone, built on demand
         self.grad_accum = int(grad_accum)
         self.tensor_parallel = tensor_parallel
         self.fsdp = fsdp
@@ -223,23 +224,43 @@ class DepthTask:
 
     # ------------------------------------------------------------- loss core
 
-    def _forward(self, params, image):
+    def _forward(self, params, image, train: bool = False):
         """Model forward — the GPipe-pipelined trunk when enabled.
 
         The pipeline needs the (static) batch to divide data-axis x
-        microbatches; shapes that don't (trailing eval batches the loader
+        microbatches; eval shapes that don't (trailing batches the loader
         couldn't pad) fall back to the plain forward at trace time —
         numerics are identical either way (test_pipeline_parallel.py).
+        TRAIN shapes are config-controlled, so there a mismatch is a
+        misconfiguration that would silently train un-pipelined for the
+        whole run (half the mesh idle) — raise instead.
         """
         if self._pp_forward is not None:
             divisor = (self.mesh.shape[meshlib.DATA_AXIS]
                        * self.pipe_microbatches)
             if image.shape[0] % divisor == 0:
                 return self._pp_forward(params, image)
-        return self.model.apply({"params": params}, image)
+            if train:
+                raise ValueError(
+                    f"pipeline_parallel={self.pipeline_parallel}: train "
+                    f"microbatch {image.shape[0]} must divide data axis "
+                    f"{self.mesh.shape[meshlib.DATA_AXIS]} x "
+                    f"pipe_microbatches {self.pipe_microbatches}")
+        model = self.model
+        if (image.shape[0] % self.mesh.shape[meshlib.DATA_AXIS] != 0
+                and self.model.data_shards != 1):
+            # Batches that can't shard run replicated (shard_batch's own
+            # rule): the whole batch sits on every device, so the int8
+            # auto scope must threshold on data_shards=1, not the data
+            # axis (same overcounting trap as jax.device_count()).
+            if self._model_repl is None:
+                self._model_repl = self.model.clone(data_shards=1)
+            model = self._model_repl
+        return model.apply({"params": params}, image)
 
-    def _loss_and_metrics(self, params, image, depth, max_depth_arr):
-        pred = self._forward(params, image)  # (b, h, w)
+    def _loss_and_metrics(self, params, image, depth, max_depth_arr,
+                          train: bool = False):
+        pred = self._forward(params, image, train=train)  # (b, h, w)
         gt = depth[..., 0] if depth.ndim == 4 else depth
         maxd = max_depth_arr[:, None, None]
         mask = (gt >= self.min_depth) & (gt <= maxd)
@@ -269,7 +290,7 @@ class DepthTask:
                 image, depth, maxd, wi = xs
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_and_metrics, has_aux=True)(
-                        state.params, image, depth, maxd)
+                        state.params, image, depth, maxd, train=True)
                 grads_acc = jax.tree.map(
                     lambda a, g: (a + g * wi).astype(a.dtype),
                     grads_acc, grads)

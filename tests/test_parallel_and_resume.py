@@ -241,6 +241,33 @@ def test_untyped_restore_across_device_topologies(tmp_path):
     assert r.returncode == 0 and "OK" in r.stdout, r.stdout + r.stderr
 
 
+def test_readonly_checkpoint_dir_restores(tmp_path):
+    """Inference consumers (infer/serve/pointcloud_model via
+    load_or_init_depth_params) open OTHER runs' checkpoint dirs, possibly
+    on a read-only mount and possibly written before the latest/ store
+    existed — the manager must not mkdir/write anything on the read path
+    (round-3 review: the eager latest/ construction did)."""
+    d = tmp_path / "ckpt"
+    mgr = CheckpointManager(str(d), max_to_keep=1, track_latest=False)
+    mgr.save(1, {"params": {"w": np.arange(4.0)}}, {"val_loss": 1.0})
+    mgr.close()
+    assert not (d / "latest").exists()
+
+    locked = []
+    for root, dirs, _ in os.walk(d):
+        for name in [os.path.join(root, x) for x in dirs] + [root]:
+            os.chmod(name, 0o555)
+            locked.append(name)
+    try:
+        out = CheckpointManager(str(d)).restore_best_untyped()
+        np.testing.assert_array_equal(np.asarray(out["params"]["w"]),
+                                      np.arange(4.0))
+        assert not (d / "latest").exists()
+    finally:
+        for name in locked:
+            os.chmod(name, 0o755)
+
+
 def test_prefetch_loader_reshuffles_across_epochs():
     """Re-iterating ONE PrefetchLoader gives a different order each epoch
     (fit loops build the loader once; recreating it per epoch would

@@ -119,6 +119,40 @@ def test_pp_eval_fallback_on_indivisible_batch(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pp_train_batch_must_divide_schedule(rng):
+    """A train microbatch the schedule can't split is a misconfiguration
+    (the whole run would silently train un-pipelined with half the mesh
+    idle) — it must raise at trace time, while eval falls back."""
+    mesh = build_mesh(MeshSpec(data=4, model=2))
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                     grad_accum=1, device_mesh=mesh, policy=POLICY_F32,
+                     grad_checkpoint=False, pipeline_parallel=2,
+                     pipe_microbatches=2)
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+    bad = make_batch(rng, accum=1, mb=4)  # 4 % (4 data x 2 micro) != 0
+    with pytest.raises(ValueError, match="must divide"):
+        task.train_step(state, bad)
+
+
+def test_int8_auto_scope_uses_replicated_shards_on_indivisible_batch(rng):
+    """Eval batches that can't shard run replicated — the int8 auto scope
+    must then threshold on data_shards=1, not the data axis (round-3
+    review: the static mesh-axis count overcounted for replicated
+    layouts, re-enabling attention quant in the bs>32 regime it loses)."""
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                     grad_accum=1, device_mesh=mesh, policy=POLICY_F32,
+                     grad_checkpoint=False, quant_int8=True)
+    assert task.model.data_shards == 8
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+    b = make_batch(rng, accum=1, mb=5)  # 5 % 8 != 0 -> replicated
+    m = task.eval_step(state.params,
+                       {"image": b["image"][0], "depth": b["depth"][0]})
+    assert np.isfinite(float(m["loss"]))
+    assert task._model_repl is not None
+    assert task._model_repl.data_shards == 1
+
+
 def test_pp_mode_guards():
     mesh = build_mesh(MeshSpec(data=4, model=2))
     with pytest.raises(ValueError, match="mutually exclusive"):

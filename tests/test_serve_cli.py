@@ -50,26 +50,38 @@ def test_serve_cli_once(tmp_path):
     assert rel < 0.1, rel
 
 
-def test_serve_retry_tracker_waits_for_stable_file(tmp_path):
+def test_serve_retry_tracker_parks_and_unparks(tmp_path):
     """A slow multi-poll upload must be retried until the file stops
-    changing; only a STABLE unreadable file is given up on (round-3
-    review: the old fixed 3-strikes counter dropped any frame whose
-    upload outlasted ~3 polls)."""
+    changing; a STABLE unreadable file is parked (stat-only skip), and a
+    parked file whose upload later RESUMES is picked back up (round-3
+    review: the old fixed 3-strikes counter permanently dropped any frame
+    whose transfer stalled ~3 polls)."""
     from e3d_tpu.cli.serve import _ReadRetryTracker
 
     path = tmp_path / "partial.png"
     t = _ReadRetryTracker(patience=3)
-    # Upload in progress: size keeps growing -> never gives up.
+    # Upload in progress: size keeps growing -> never parks.
     for _ in range(10):
         with open(path, "ab") as f:
             f.write(b"x" * 100)
         assert t.note_failure(str(path)) is False
-    # File stabilized but stays unreadable (corrupt): 3 strikes.
+        assert t.parked(str(path)) is False
+    # File stalled and stays unreadable: parked after 3 stable strikes
+    # (note_failure fires True exactly once, for the log line).
     os.utime(path, ns=(0, 0))  # freeze mtime so signatures repeat
     assert t.note_failure(str(path)) is False
     assert t.note_failure(str(path)) is False
     assert t.note_failure(str(path)) is True
-    # Deleted mid-poll: transient, not a give-up.
+    assert t.parked(str(path)) is True
+    assert t.note_failure(str(path)) is False  # no repeat log
+    # Upload resumes: signature changes -> un-parked, decode retried.
+    with open(path, "ab") as f:
+        f.write(b"y" * 100)
+    assert t.parked(str(path)) is False
+    # Successful read clears the bookkeeping.
+    t.clear(str(path))
+    assert not t._fails
+    # Deleted mid-poll: transient, not a park.
     os.remove(path)
     assert t.note_failure(str(path)) is False
     # prune drops bookkeeping for files no longer present.
