@@ -278,3 +278,27 @@ def test_non_mjpeg_falls_back_to_cv2(tmp_path):
     assert _native_reader(path) is None
     out = str(tmp_path / "frames")
     assert video_to_frames(path, out) == 4  # cv2 path still works
+
+
+def test_video_depth_cli_end_to_end(mjpg_avi, tmp_path):
+    """video_depth: MJPEG in -> depth MJPEG out without frames touching
+    disk (native demux -> serving engine -> native mux), side-by-side
+    composite geometry and frame-count/stride preserved."""
+    from e3d_tpu.cli import video_depth
+
+    out = str(tmp_path / "depth.mp4")
+    video_depth.main([
+        "--encoder", "vitt", "-i", mjpg_avi, "-o", out,
+        "--input-size", "56", "--batch-size", "4",
+        "--every-n", "2", "--side-by-side", "--quality", "92",
+    ])
+    with native.VideoReader(out) as r:
+        assert r.is_mjpeg
+        assert r.num_frames == 6  # 12 input frames, every 2nd
+        # original (64) | 50px divider | depth (64)
+        assert (r.width, r.height) == (64 + 50 + 64, 48)
+        assert abs(r.fps - 5.0) < 1e-6  # 10 fps input / every_n 2
+        frame = r.frame_rgb(0)
+        assert frame.shape == (48, 178, 3)
+        # divider column stays white through the JPEG roundtrip
+        assert frame[:, 64 + 25, :].min() > 200

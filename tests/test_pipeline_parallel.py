@@ -72,9 +72,11 @@ def test_pp_forward_and_grads_match_plain(rng):
                                    atol=3e-5 * scale)
 
 
-def test_pipeline_parallel_matches_data_parallel(rng):
-    """Same batch, same seed: (data=4, pipe=2) PP training == (data=8) DP,
-    including the grad-accum scan and the optimizer update."""
+@pytest.mark.parametrize("pp_mesh", [(4, 2), (2, 4)])
+def test_pipeline_parallel_matches_data_parallel(rng, pp_mesh):
+    """Same batch, same seed: PP training == (data=8) DP, including the
+    grad-accum scan and the optimizer update. (2,4) puts vitt's 4 blocks
+    one-per-stage — multi-hop ppermute and a 3-tick bubble."""
     batch = make_batch(rng, accum=2)
 
     def run(mesh, pp):
@@ -88,7 +90,9 @@ def test_pipeline_parallel_matches_data_parallel(rng):
         return state, metrics
 
     state_dp, m_dp = run(build_mesh(MeshSpec(data=8, model=1)), 0)
-    state_pp, m_pp = run(build_mesh(MeshSpec(data=4, model=2)), 2)
+    data, stages = pp_mesh
+    state_pp, m_pp = run(build_mesh(MeshSpec(data=data, model=stages)),
+                         stages)
     np.testing.assert_allclose(float(m_dp["loss"]), float(m_pp["loss"]),
                                rtol=1e-4)
     for a, b in zip(jax.tree.leaves(state_dp.params),
