@@ -1,0 +1,79 @@
+"""Export the batched depth-inference program as a StableHLO artifact.
+
+Deployment counterpart of ``cli/serve.py`` (no reference equivalent —
+the reference re-builds the torch model from source at every use,
+``run.py:120-147``): trace the full preprocess+forward+resize-back
+program once at a fixed (batch, H, W), serialize it with ``jax.export``,
+and serve it later with ``serving.export.load_exported`` — no model
+code, no re-trace, weights stay in the Orbax checkpoint.
+
+Usage:
+    python -m ...cli.export_model --encoder vitl --load-from ckpt \
+        --frame-hw 475 1000 --batch-size 8 -o vitl_475x1000.stablehlo \
+        [--check]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    from ..models.convert import load_or_init_depth_params
+    from ..serving.export import export_depth_program, load_exported
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--encoder", default="vitl",
+                   choices=["vits", "vitb", "vitl", "vitg", "vitt"])
+    p.add_argument("--load-from", default=None)
+    p.add_argument("--max-depth", type=float, default=20.0)
+    p.add_argument("--frame-hw", type=int, nargs=2, required=True,
+                   metavar=("H", "W"),
+                   help="camera resolution the program is fixed to "
+                        "(SimCol: 475 1000)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--input-size", type=int, default=518)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--token-merge", type=float, default=0.0)
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--check", action="store_true",
+                   help="replay the artifact on random frames and report "
+                        "the max deviation vs the live model")
+    args = p.parse_args(argv)
+
+    model, params = load_or_init_depth_params(args.encoder, args.max_depth,
+                                              args.load_from,
+                                              token_merge=args.token_merge,
+                                              quant_int8=args.int8)
+    meta = export_depth_program(model, params, args.output,
+                                frame_hw=tuple(args.frame_hw),
+                                batch_size=args.batch_size,
+                                input_size=args.input_size)
+    print(f"[export] {args.output}: {meta['artifact_bytes']} bytes, "
+          f"platforms={meta['platforms']}, frame={meta['frame_hw']}, "
+          f"net={meta['net_hw']}, batch={meta['batch_size']}")
+
+    if args.check:
+        prog = load_exported(args.output)
+        rng = np.random.default_rng(0)
+        frames = rng.random((args.batch_size, *args.frame_hw, 3),
+                            np.float32)
+        got = np.asarray(prog(params, frames))
+        from ..serving.export import _program
+
+        import jax
+
+        ref = np.asarray(jax.jit(_program(
+            model, tuple(meta["net_hw"]),
+            tuple(meta["frame_hw"])))(params, frames))
+        dev = float(np.abs(got - ref).max())
+        print(f"[export] replay check: max |exported - live| = {dev:.3e}")
+        if not np.isfinite(got).all() or dev > 1e-3 * max(
+                float(np.abs(ref).max()), 1.0):
+            raise SystemExit("[export] replay check FAILED")
+
+
+if __name__ == "__main__":
+    main()

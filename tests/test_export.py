@@ -1,0 +1,76 @@
+"""StableHLO model export: serialize/replay parity, shape guards, CLI."""
+
+import json
+
+import numpy as np
+import pytest
+
+import e3d_tpu  # noqa: F401
+from e3d_tpu.models.depth_anything import build_depth_model, \
+    infer_images_batched
+from e3d_tpu.serving.export import export_depth_program, load_exported
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    model = build_depth_model("vitt", 20.0, dtype=jnp.float32)
+    img = jnp.zeros((1, 56, 56, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img)["params"]
+    path = str(tmp_path_factory.mktemp("export") / "vitt.stablehlo")
+    meta = export_depth_program(model, params, path, frame_hw=(48, 64),
+                                batch_size=4, input_size=56)
+    return model, params, path, meta
+
+
+def test_export_replay_matches_live_inference(exported):
+    """The deserialized program reproduces the live batched-inference
+    path (same resize/normalize/forward/resize-back) bit-for-bit on the
+    same backend."""
+    model, params, path, meta = exported
+    assert meta["artifact_bytes"] > 0 and meta["net_hw"] == [56, 70]
+    prog = load_exported(path)
+    assert prog.meta == meta
+
+    rng = np.random.default_rng(1)
+    frames_u8 = [rng.integers(0, 255, (48, 64, 3), np.uint8)
+                 for _ in range(4)]
+    live = infer_images_batched(model, params, frames_u8, input_size=56,
+                                batch_size=4, data_parallel=False)
+    rgb01 = np.stack([f[..., ::-1] for f in frames_u8]).astype(
+        np.float32) / 255.0
+    got = np.asarray(prog(params, rgb01))
+    np.testing.assert_allclose(got, np.stack(live), rtol=1e-5, atol=1e-5)
+
+
+def test_export_shape_guard(exported):
+    _, params, path, _ = exported
+    prog = load_exported(path)
+    with pytest.raises(ValueError, match="fixed-shape"):
+        prog(params, np.zeros((4, 64, 48, 3), np.float32))
+
+
+def test_export_metadata_sidecar(exported):
+    _, _, path, meta = exported
+    with open(path + ".json", encoding="utf-8") as f:
+        on_disk = json.load(f)
+    assert on_disk == meta
+    assert on_disk["format"] == "jax.export/stablehlo"
+    assert on_disk["encoder"] == "vitt"
+    assert on_disk["platforms"]  # backend recorded for deploy targeting
+
+
+def test_export_cli_roundtrip(tmp_path, capsys):
+    """CLI export + --check replay on a random-init vitt."""
+    from e3d_tpu.cli import export_model
+
+    out = str(tmp_path / "prog.stablehlo")
+    export_model.main([
+        "--encoder", "vitt", "--frame-hw", "48", "64",
+        "--batch-size", "2", "--input-size", "56", "-o", out, "--check",
+    ])
+    text = capsys.readouterr().out
+    assert "replay check: max |exported - live|" in text
+    assert (tmp_path / "prog.stablehlo.json").exists()
