@@ -181,6 +181,16 @@ def main(argv=None) -> None:
                 print(f"[serve] processed {n_done} frames "
                       f"({len(processed)} tracked)")
             if args.once:
+                stats = engine.stats()
+                if stats.get("batches"):
+                    print(f"[serve] stats: {stats['completed']} ok / "
+                          f"{stats['failed']} failed in "
+                          f"{stats['batches']} batches "
+                          f"(mean fill {stats['mean_batch_fill']:.1f}); "
+                          f"latency p50/p95/p99 = "
+                          f"{stats.get('latency_p50_ms', 0):.0f}/"
+                          f"{stats.get('latency_p95_ms', 0):.0f}/"
+                          f"{stats.get('latency_p99_ms', 0):.0f} ms")
                 break
             time.sleep(args.poll)
 

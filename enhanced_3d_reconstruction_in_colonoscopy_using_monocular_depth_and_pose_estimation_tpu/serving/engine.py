@@ -32,6 +32,66 @@ from typing import Sequence
 import numpy as np
 
 
+class _Stats:
+    """Serving counters + end-to-end latency quantiles.
+
+    Latency = submit() to result-set (queueing + batching delay + device
+    time), the number an SLO is written against. A bounded reservoir of
+    the most recent samples keeps memory O(1) on long-running servers.
+    """
+
+    def __init__(self, keep: int = 4096):
+        self._lock = threading.Lock()
+        self._keep = keep
+        self._lat: list[float] = []
+        self._pos = 0
+        self.submitted = 0
+        self.completed = 0
+        self.failed = 0
+        self.batches = 0
+        self.batch_fill = 0  # sum of batch sizes, for mean fill
+
+    def note_submit(self, n: int = 1) -> None:
+        with self._lock:
+            self.submitted += n
+
+    def note_batch(self, size: int, latencies_s: list[float],
+                   failed: bool) -> None:
+        with self._lock:
+            self.batches += 1
+            self.batch_fill += size
+            if failed:
+                self.failed += size
+            else:
+                self.completed += size
+            for v in latencies_s:
+                if len(self._lat) < self._keep:
+                    self._lat.append(v)
+                else:  # ring buffer: most recent window
+                    self._lat[self._pos] = v
+                    self._pos = (self._pos + 1) % self._keep
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = np.asarray(self._lat, np.float64)
+            out = {
+                "submitted": self.submitted,
+                "completed": self.completed,
+                "failed": self.failed,
+                "batches": self.batches,
+                "mean_batch_fill": (self.batch_fill / self.batches
+                                    if self.batches else 0.0),
+            }
+            if lat.size:
+                out.update(
+                    latency_p50_ms=float(np.percentile(lat, 50) * 1e3),
+                    latency_p95_ms=float(np.percentile(lat, 95) * 1e3),
+                    latency_p99_ms=float(np.percentile(lat, 99) * 1e3),
+                    latency_max_ms=float(lat.max() * 1e3),
+                )
+            return out
+
+
 class DepthServingEngine:
     """Batched streaming inference over a fixed model/params."""
 
@@ -45,6 +105,7 @@ class DepthServingEngine:
         self.batch_size = batch_size
         self.max_delay_s = max_delay_s
         self._queue: queue.Queue = queue.Queue()
+        self._stats = _Stats()
         self._deferred: list = []  # worker-local: other-resolution frames
         self._closed = False
         self._lock = threading.Lock()
@@ -59,8 +120,15 @@ class DepthServingEngine:
         with self._lock:  # closed-check + put must be atomic vs close()
             if self._closed:
                 raise RuntimeError("engine is closed")
-            self._queue.put((bgr, fut))
+            self._queue.put((bgr, fut, time.monotonic()))
+        self._stats.note_submit()
         return fut
+
+    def stats(self) -> dict:
+        """Serving counters and end-to-end latency quantiles (ms):
+        submitted/completed/failed, batches, mean batch fill, p50/p95/p99
+        over a recent-sample reservoir."""
+        return self._stats.snapshot()
 
     def submit_many(self, frames: Sequence[np.ndarray]) -> list[Future]:
         return [self.submit(f) for f in frames]
@@ -133,8 +201,10 @@ class DepthServingEngine:
             items = self._collect_batch()
             if items is None:
                 return
-            frames = [bgr for bgr, _ in items]
-            futures = [fut for _, fut in items]
+            frames = [bgr for bgr, _, _ in items]
+            futures = [fut for _, fut, _ in items]
+            t_subs = [t for _, _, t in items]
+            failed = False
             try:
                 depths = infer_images_batched(
                     self.model, self.params, frames,
@@ -143,6 +213,10 @@ class DepthServingEngine:
                 for fut, depth in zip(futures, depths):
                     fut.set_result(depth)
             except Exception as exc:  # propagate to all waiters
+                failed = True
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(exc)
+            done = time.monotonic()
+            self._stats.note_batch(len(items), [done - t for t in t_subs],
+                                   failed)

@@ -79,3 +79,34 @@ def test_serving_closed_rejects(model_and_params):
     engine.close()
     with pytest.raises(RuntimeError):
         engine.submit(np.zeros((56, 56, 3), np.uint8))
+
+
+def test_serving_stats(model_and_params, rng):
+    """stats(): counters add up, batching is visible in mean fill, and
+    the end-to-end latency quantiles are sane and ordered."""
+    model, params = model_and_params
+    frames = [rng.integers(0, 255, size=(48, 48, 3), dtype=np.uint8)
+              for _ in range(8)]
+    with DepthServingEngine(model, params, input_size=56,
+                            batch_size=4) as engine:
+        for f in engine.submit_many(frames):
+            f.result(timeout=120)
+        stats = engine.stats()
+    assert stats["submitted"] == 8 and stats["completed"] == 8
+    assert stats["failed"] == 0
+    assert stats["batches"] >= 2  # 8 frames / batch_size 4
+    assert 1.0 <= stats["mean_batch_fill"] <= 4.0
+    assert 0 < stats["latency_p50_ms"] <= stats["latency_p95_ms"]
+    assert stats["latency_p95_ms"] <= stats["latency_p99_ms"]
+    assert stats["latency_p99_ms"] <= stats["latency_max_ms"]
+
+
+def test_serving_stats_counts_failures(model_and_params):
+    model, params = model_and_params
+    with DepthServingEngine(model, params, input_size=56,
+                            batch_size=2) as engine:
+        fut = engine.submit(np.zeros((7, 5), np.uint8))  # not HxWx3
+        with pytest.raises(Exception):
+            fut.result(timeout=120)
+        stats = engine.stats()
+    assert stats["failed"] == 1 and stats["completed"] == 0
