@@ -74,3 +74,17 @@ def test_export_cli_roundtrip(tmp_path, capsys):
     text = capsys.readouterr().out
     assert "replay check: max |exported - live|" in text
     assert (tmp_path / "prog.stablehlo.json").exists()
+
+    # The speed dials are model fields, so they trace INTO the artifact:
+    # an int8+token-merge export must replay-check against the same
+    # dialed live model (not the bf16 default).
+    out2 = str(tmp_path / "prog_dialed.stablehlo")
+    export_model.main([
+        "--encoder", "vitt", "--frame-hw", "48", "64",
+        "--batch-size", "2", "--input-size", "56", "-o", out2,
+        "--int8", "--token-merge", "0.25", "--check",
+    ])
+    meta = json.loads((tmp_path / "prog_dialed.stablehlo.json")
+                      .read_text())
+    assert meta["quant_int8"] is True
+    assert meta["token_merge"] == 0.25
