@@ -103,6 +103,12 @@ def main(argv=None) -> None:
     p.add_argument("--int8", action="store_true",
                    help="dynamic-int8 encoder matmuls (opt-in speed mode, "
                         "see README)")
+    p.add_argument("--from-export", default=None, metavar="ARTIFACT",
+                   help="serve an AOT StableHLO artifact "
+                        "(cli/export_model.py) instead of tracing the "
+                        "model; weights still come from --load-from. "
+                        "Only frames matching the exported (H, W) are "
+                        "served; others are skipped with a message")
     p.add_argument("--save-numpy", action="store_true")
     p.add_argument("--grayscale", action="store_true")
     args = p.parse_args(argv)
@@ -111,6 +117,16 @@ def main(argv=None) -> None:
                                               args.load_from,
                                               token_merge=args.token_merge,
                                               quant_int8=args.int8)
+    runner = export_hw = None
+    if args.from_export:
+        from ..serving.export import exported_runner, load_exported
+
+        prog = load_exported(args.from_export)
+        runner = exported_runner(prog, params)
+        export_hw = tuple(prog.meta["frame_hw"])
+        print(f"[serve] replaying exported program {args.from_export} "
+              f"(frame {export_hw}, batch {prog.meta['batch_size']}, "
+              f"platforms {prog.meta['platforms']})")
 
     os.makedirs(args.outdir, exist_ok=True)
     processed: set[str] = set()
@@ -123,7 +139,8 @@ def main(argv=None) -> None:
                 os.path.join(args.outdir, stem + ".npy"))
 
     with DepthServingEngine(model, params, input_size=args.input_size,
-                            batch_size=args.batch_size) as engine:
+                            batch_size=args.batch_size,
+                            runner=runner) as engine:
         # Submit-then-drain in bounded chunks: a large pre-existing
         # backlog must not be decoded into host memory all at once.
         chunk = max(1, 4 * args.batch_size)
@@ -159,6 +176,11 @@ def main(argv=None) -> None:
                                   f"(will retry if it changes)")
                         continue
                     retries.clear(path)
+                    if export_hw and raw.shape[:2] != export_hw:
+                        print(f"[serve] skipping {path}: {raw.shape[:2]} "
+                              f"!= exported frame {export_hw}")
+                        processed.add(path)
+                        continue
                     stem = os.path.splitext(os.path.basename(path))[0]
                     owner = stem_owner.setdefault(stem, path)
                     if owner != path:

@@ -96,11 +96,18 @@ class DepthServingEngine:
     """Batched streaming inference over a fixed model/params."""
 
     def __init__(self, model, params, input_size: int = 518,
-                 batch_size: int = 8, max_delay_s: float = 0.05):
+                 batch_size: int = 8, max_delay_s: float = 0.05,
+                 runner=None):
+        """``runner`` (optional): ``list[BGR uint8] -> list[(H,W) f32]``
+        replacing the default jit path — e.g. an AOT-exported program
+        (``serving/export.py``; see ``cli/serve.py --from-export``).
+        ``model``/``params`` may be ``None`` when a runner is given."""
         import jax
 
+        self._runner = runner
         self.model = model
-        self.params = jax.device_put(params)
+        self.params = (jax.device_put(params) if params is not None
+                       else None)
         self.input_size = input_size
         self.batch_size = batch_size
         self.max_delay_s = max_delay_s
@@ -206,10 +213,13 @@ class DepthServingEngine:
             t_subs = [t for _, _, t in items]
             failed = False
             try:
-                depths = infer_images_batched(
-                    self.model, self.params, frames,
-                    input_size=self.input_size,
-                    batch_size=self.batch_size)
+                if self._runner is not None:
+                    depths = self._runner(frames)
+                else:
+                    depths = infer_images_batched(
+                        self.model, self.params, frames,
+                        input_size=self.input_size,
+                        batch_size=self.batch_size)
                 for fut, depth in zip(futures, depths):
                     fut.set_result(depth)
             except Exception as exc:  # propagate to all waiters

@@ -111,3 +111,32 @@ class ExportedDepthProgram:
 
 def load_exported(path: str) -> ExportedDepthProgram:
     return ExportedDepthProgram(path)
+
+
+def exported_runner(prog: ExportedDepthProgram, params: Any):
+    """Adapt an exported program to the ``DepthServingEngine`` runner
+    contract (``list[BGR uint8] -> list[(H, W) f32 depth]``), padding
+    ragged tails to the exported batch size so the artifact's one
+    compiled shape serves any request count."""
+    b = int(prog.meta["batch_size"])
+    h, w = prog.meta["frame_hw"]
+
+    def run(frames):
+        for f in frames:
+            if tuple(np.shape(f)) != (h, w, 3):
+                raise ValueError(
+                    f"exported program serves ({h}, {w}, 3) frames; "
+                    f"got {np.shape(f)}")
+        out: list[np.ndarray] = []
+        for start in range(0, len(frames), b):
+            chunk = frames[start:start + b]
+            arr = np.stack([f[..., ::-1] for f in chunk]).astype(
+                np.float32) / 255.0
+            n = len(chunk)
+            if n < b:
+                arr = np.concatenate(
+                    [arr, np.zeros((b - n, h, w, 3), np.float32)])
+            out.extend(np.asarray(prog(params, arr))[:n])
+        return out
+
+    return run

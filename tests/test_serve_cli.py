@@ -87,3 +87,43 @@ def test_serve_retry_tracker_parks_and_unparks(tmp_path):
     # prune drops bookkeeping for files no longer present.
     t.prune(set())
     assert not t._fails
+
+
+def test_serve_cli_from_export(tmp_path):
+    """serve --from-export replays the AOT artifact: same depths as the
+    live-traced engine (same program), mismatched-resolution frames are
+    skipped without claiming their output stem."""
+    from e3d_tpu.cli import export_model, serve
+
+    rng = np.random.default_rng(0)
+    indir = tmp_path / "frames"
+    indir.mkdir()
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, size=(64, 64, 3),
+                                     dtype=np.uint8)).save(
+            indir / f"frame_{i:03d}.png")
+    Image.fromarray(rng.integers(0, 255, size=(48, 64, 3),
+                                 dtype=np.uint8)).save(indir / "odd.png")
+
+    artifact = str(tmp_path / "vitt.stablehlo")
+    export_model.main(["--encoder", "vitt", "--frame-hw", "64", "64",
+                       "--batch-size", "4", "--input-size", "56",
+                       "-o", artifact])
+
+    out_live = tmp_path / "live"
+    serve.main(["--encoder", "vitt", "-i", str(indir), "-o",
+                str(out_live), "--input-size", "56", "--batch-size", "4",
+                "--once", "--save-numpy"])
+    out_exp = tmp_path / "exported"
+    serve.main(["--encoder", "vitt", "-i", str(indir), "-o",
+                str(out_exp), "--input-size", "56", "--batch-size", "4",
+                "--once", "--save-numpy", "--from-export", artifact])
+
+    live = sorted(glob.glob(str(out_live / "*.npy")))
+    exp = sorted(glob.glob(str(out_exp / "*.npy")))
+    assert len(live) == 4  # live path serves the odd resolution too
+    assert len(exp) == 3   # exported path skips it
+    assert not (out_exp / "odd.npy").exists()
+    for a, b in zip([p for p in live if "odd" not in p], exp):
+        np.testing.assert_allclose(np.load(a), np.load(b),
+                                   rtol=1e-5, atol=1e-5)
