@@ -50,3 +50,25 @@ python -m $PKG.cli.eval_depth_offline --input-path datasets/SyntheticColon/
 python -m $PKG.cli.calc_metrics --dataset-root datasets/SyntheticColon/
 python -m $PKG.cli.calc_stats --ds simcol \
     --data-dir datasets/SyntheticColon --train-list datasets/SyntheticColon/train.txt
+
+# Streaming watch-folder serving (futures engine; --once = drain and exit)
+python -m $PKG.cli.serve --encoder vitl --load-from ./checkpoints/best.ckpt \
+    -i incoming_frames/ -o depths/ --batch-size 8 --save-numpy
+
+# One-shot video -> depth-video (native MJPEG demux -> engine -> mux)
+python -m $PKG.cli.video_depth --encoder vitl --load-from ./checkpoints/best.ckpt \
+    -i colon.avi -o colon_depth.mp4 --side-by-side --every-n 2
+
+# AOT deployment: export the serving program once, replay with no re-trace
+python -m $PKG.cli.export_model --encoder vitl --load-from ./checkpoints/best.ckpt \
+    --frame-hw 475 1000 --batch-size 8 -o vitl.stablehlo --check
+python -m $PKG.cli.serve --encoder vitl --load-from ./checkpoints/best.ckpt \
+    -i incoming_frames/ -o depths/ --from-export vitl.stablehlo
+
+# Multi-chip knobs (any trainer CLI): data/model mesh + TP/SP/FSDP/pipeline
+python -m $PKG.cli.train_depth dataset=simcol model=large \
+    trainer.mesh_data=4 trainer.mesh_model=2 trainer.tensor_parallel=true \
+    trainer.seq_parallel=true
+python -m $PKG.cli.train_depth dataset=simcol model=large trainer.fsdp=true
+python -m $PKG.cli.train_depth dataset=simcol model=large \
+    trainer.mesh_data=4 trainer.mesh_model=2 trainer.pipeline_parallel=2
