@@ -122,16 +122,52 @@ def main(argv=None) -> None:
         from ..serving.export import exported_runner, load_exported
 
         prog = load_exported(args.from_export)
+        meta = prog.meta
+        # The artifact's traced-in dials win — flags that contradict them
+        # would silently serve a different configuration than requested.
+        if args.int8 != bool(meta["quant_int8"]) and args.int8:
+            p.error(f"--int8 contradicts the artifact "
+                    f"(quant_int8={meta['quant_int8']}); the exported "
+                    f"program's dials are fixed at export time")
+        if args.token_merge and args.token_merge != meta["token_merge"]:
+            p.error(f"--token-merge {args.token_merge} contradicts the "
+                    f"artifact (token_merge={meta['token_merge']})")
+        if args.input_size != 518 and args.input_size != meta["input_size"]:
+            p.error(f"--input-size {args.input_size} contradicts the "
+                    f"artifact (input_size={meta['input_size']})")
+        if args.batch_size != meta["batch_size"]:
+            print(f"[serve] note: batching to the artifact's batch size "
+                  f"{meta['batch_size']} (not --batch-size "
+                  f"{args.batch_size})")
+            args.batch_size = int(meta["batch_size"])
         runner = exported_runner(prog, params)
-        export_hw = tuple(prog.meta["frame_hw"])
+        export_hw = tuple(meta["frame_hw"])
         print(f"[serve] replaying exported program {args.from_export} "
-              f"(frame {export_hw}, batch {prog.meta['batch_size']}, "
-              f"platforms {prog.meta['platforms']})")
+              f"(frame {export_hw}, batch {meta['batch_size']}, "
+              f"int8={meta['quant_int8']}, "
+              f"token_merge={meta['token_merge']}, "
+              f"platforms {meta['platforms']})")
 
     os.makedirs(args.outdir, exist_ok=True)
     processed: set[str] = set()
     stem_owner: dict[str, str] = {}  # guard a.png / a.jpg output collision
     retries = _ReadRetryTracker()
+    # Wrong-resolution frames under --from-export: parked by (size,
+    # mtime) signature; an in-place rewrite un-parks them.
+    res_skipped: dict[str, tuple[int, int]] = {}
+
+    def res_parked(path: str) -> bool:
+        sig = res_skipped.get(path)
+        if sig is None:
+            return False
+        try:
+            st = os.stat(path)
+        except OSError:
+            return False
+        if (st.st_size, st.st_mtime_ns) == sig:
+            return True
+        res_skipped.pop(path, None)  # rewritten: decode it again
+        return False
 
     def out_paths(path: str):
         stem = os.path.splitext(os.path.basename(path))[0]
@@ -156,8 +192,11 @@ def main(argv=None) -> None:
             stem_owner = {s: p for s, p in stem_owner.items()
                           if p in current}
             retries.prune(current)
+            for gone in set(res_skipped) - current:
+                res_skipped.pop(gone, None)
             fresh = [f for f in frames
                      if f not in processed
+                     and not res_parked(f)
                      and not os.path.exists(out_paths(f)[0])]
             n_done = 0
             for start in range(0, len(fresh), chunk):
@@ -177,9 +216,17 @@ def main(argv=None) -> None:
                         continue
                     retries.clear(path)
                     if export_hw and raw.shape[:2] != export_hw:
+                        # Signature-keyed skip (not `processed`): a file
+                        # overwritten in place with a correct-resolution
+                        # image is picked back up — same never-drop
+                        # policy as _ReadRetryTracker.
+                        try:
+                            st = os.stat(path)
+                            res_skipped[path] = (st.st_size, st.st_mtime_ns)
+                        except OSError:
+                            pass
                         print(f"[serve] skipping {path}: {raw.shape[:2]} "
                               f"!= exported frame {export_hw}")
-                        processed.add(path)
                         continue
                     stem = os.path.splitext(os.path.basename(path))[0]
                     owner = stem_owner.setdefault(stem, path)

@@ -107,23 +107,16 @@ def main(argv=None) -> None:
 
     writer = None
     n_out = 0
-    with DepthServingEngine(model, params, input_size=args.input_size,
-                            batch_size=args.batch_size) as engine:
-        def render(rgb: np.ndarray, depth: np.ndarray) -> np.ndarray:
-            vis = colorize_depth(depth, grayscale=args.grayscale, bgr=False)
-            return side_by_side(rgb, vis) if args.side_by_side else vis
+    try:
+        with DepthServingEngine(model, params, input_size=args.input_size,
+                                batch_size=args.batch_size) as engine:
+            def render(rgb: np.ndarray, depth: np.ndarray) -> np.ndarray:
+                vis = colorize_depth(depth, grayscale=args.grayscale,
+                                     bgr=False)
+                return side_by_side(rgb, vis) if args.side_by_side else vis
 
-        # Bounded in-flight window: decode/encode overlap device compute
-        # without buffering the whole video in host memory.
-        window = max(2 * args.batch_size, 2)
-        pending: list[tuple[np.ndarray, object]] = []
-        fps_in = None
-        for _, rgb, fps_in in _frames(args.input, args.every_n,
-                                      args.max_frames):
-            # engine.submit expects BGR (the cv2/serve convention)
-            pending.append((rgb, engine.submit(rgb[..., ::-1])))
-            if len(pending) >= window:
-                rgb0, fut = pending.pop(0)
+            def emit(rgb0: np.ndarray, fut) -> None:
+                nonlocal writer, n_out
                 frame = render(rgb0, fut.result())
                 if writer is None:
                     fps = args.fps or max(
@@ -132,18 +125,29 @@ def main(argv=None) -> None:
                                          frame.shape[0], fps=fps)
                 writer.write_rgb(frame, quality=args.quality)
                 n_out += 1
-        for rgb0, fut in pending:
-            frame = render(rgb0, fut.result())
-            if writer is None:
-                fps = args.fps or max((fps_in or 30.0) / args.every_n, 1e-3)
-                writer = VideoWriter(args.output, frame.shape[1],
-                                     frame.shape[0], fps=fps)
-            writer.write_rgb(frame, quality=args.quality)
-            n_out += 1
-    if writer is None:
+
+            # Bounded in-flight window: decode/encode overlap device
+            # compute without buffering the whole video in host memory.
+            window = max(2 * args.batch_size, 2)
+            pending: list[tuple[np.ndarray, object]] = []
+            fps_in = None
+            for _, rgb, fps_in in _frames(args.input, args.every_n,
+                                          args.max_frames):
+                # engine.submit expects BGR (the cv2/serve convention)
+                pending.append((rgb, engine.submit(rgb[..., ::-1])))
+                if len(pending) >= window:
+                    emit(*pending.pop(0))
+            for rgb0, fut in pending:
+                emit(rgb0, fut)
+    finally:
+        # Finalize the container even on a mid-stream failure (engine
+        # error, disk full, Ctrl-C): an unfinalized MP4 loses ALL
+        # already-encoded frames; a finalized one is merely truncated.
+        if writer is not None:
+            writer.close()
+    if n_out == 0:
         raise SystemExit(f"[video_depth] no frames decoded from "
                          f"{args.input}")
-    writer.close()
     print(f"[video_depth] wrote {n_out} frames -> {args.output}")
 
 

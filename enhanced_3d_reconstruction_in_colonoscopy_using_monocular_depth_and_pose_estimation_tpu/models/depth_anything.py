@@ -240,17 +240,27 @@ def infer_images_batched(model: DepthAnythingV2, params,
                                         model_static)
 
     outputs: list[np.ndarray] = []
+    for arr, n in chunk_rgb01(bgr_frames, batch_size):
+        outputs.extend(np.asarray(run(params, jnp.asarray(arr)))[:n])
+    return outputs
+
+
+def chunk_rgb01(bgr_frames: list[np.ndarray], batch_size: int):
+    """Yield ``(rgb01 (batch_size, H, W, 3) f32, n_valid)`` device-batch
+    chunks: BGR->RGB, /255, zero-padded ragged tails (one compiled
+    shape). The ONE place serving pre-batching lives — shared by the
+    live path above and the AOT-exported path (``serving/export.py``) so
+    the two can't silently diverge."""
     for start in range(0, len(bgr_frames), batch_size):
         chunk = bgr_frames[start:start + batch_size]
         arr = np.stack([f[..., ::-1] for f in chunk]).astype(np.float32)
         arr /= 255.0
         n = len(chunk)
-        if n < batch_size:  # pad the tail: one compiled shape
+        if n < batch_size:
             arr = np.concatenate(
                 [arr, np.zeros((batch_size - n,) + arr.shape[1:],
                                np.float32)])
-        outputs.extend(np.asarray(run(params, jnp.asarray(arr)))[:n])
-    return outputs
+        yield arr, n
 
 
 class _ModelThunk:

@@ -127,8 +127,10 @@ class DepthServingEngine:
         with self._lock:  # closed-check + put must be atomic vs close()
             if self._closed:
                 raise RuntimeError("engine is closed")
+            # Count inside the same critical section as the put so a
+            # concurrent stats() reader never sees completed > submitted.
+            self._stats.note_submit()
             self._queue.put((bgr, fut, time.monotonic()))
-        self._stats.note_submit()
         return fut
 
     def stats(self) -> dict:

@@ -64,8 +64,15 @@ def export_depth_program(model, params, path: str,
     exp = jexport.export(jax.jit(fn))(param_specs, img_spec)
     data = exp.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(data)
+
+    # Param-tree manifest: flattened key paths + shape/dtype, so a deploy
+    # that restores a checkpoint with a drifted tree gets a diffable
+    # record instead of an opaque in_tree/avals mismatch from jax.export.
+    manifest = {
+        "/".join(_kp_str(k) for k in kp): [list(np.shape(a)),
+                                           np.dtype(a.dtype).name]
+        for kp, a in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
     meta = {
         "format": "jax.export/stablehlo",
         "encoder": model.encoder,
@@ -75,15 +82,38 @@ def export_depth_program(model, params, path: str,
         "batch_size": int(batch_size),
         "input_size": int(input_size),
         "platforms": list(exp.platforms),
+        # Every model field that changes the traced graph (the
+        # _ModelThunk cache-key rule applies to the deploy manifest too).
+        "dtype": str(np.dtype(model.dtype).name if model.dtype is not None
+                     else "bfloat16"),
         "quant_int8": bool(model.quant_int8),
+        "quant_scope": str(model.quant_scope),
+        "quant_dpt": bool(model.quant_dpt),
         "token_merge": float(model.token_merge),
         "artifact_bytes": len(data),
+        "param_manifest": manifest,
     }
+    # Both files atomically, artifact first then sidecar: a crash between
+    # the two leaves the OLD sidecar, whose frame/batch guards still
+    # match an artifact exported from the same checkpoint or fail loudly
+    # in deserialize — never a truncated binary.
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
     tmp = path + ".json.tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(meta, f, indent=1)
     os.replace(tmp, path + ".json")
     return meta
+
+
+def _kp_str(k) -> str:
+    if hasattr(k, "key"):
+        return str(k.key)
+    if hasattr(k, "idx"):
+        return str(k.idx)
+    return str(k)
 
 
 class ExportedDepthProgram:
@@ -122,20 +152,15 @@ def exported_runner(prog: ExportedDepthProgram, params: Any):
     h, w = prog.meta["frame_hw"]
 
     def run(frames):
+        from ..models.depth_anything import chunk_rgb01
+
         for f in frames:
             if tuple(np.shape(f)) != (h, w, 3):
                 raise ValueError(
                     f"exported program serves ({h}, {w}, 3) frames; "
                     f"got {np.shape(f)}")
         out: list[np.ndarray] = []
-        for start in range(0, len(frames), b):
-            chunk = frames[start:start + b]
-            arr = np.stack([f[..., ::-1] for f in chunk]).astype(
-                np.float32) / 255.0
-            n = len(chunk)
-            if n < b:
-                arr = np.concatenate(
-                    [arr, np.zeros((b - n, h, w, 3), np.float32)])
+        for arr, n in chunk_rgb01(frames, b):
             out.extend(np.asarray(prog(params, arr))[:n])
         return out
 

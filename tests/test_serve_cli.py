@@ -127,3 +127,14 @@ def test_serve_cli_from_export(tmp_path):
     for a, b in zip([p for p in live if "odd" not in p], exp):
         np.testing.assert_allclose(np.load(a), np.load(b),
                                    rtol=1e-5, atol=1e-5)
+
+    # Dials contradicting the artifact's traced-in configuration are a
+    # loud error, not a silently ignored flag.
+    with pytest.raises(SystemExit):
+        serve.main(["--encoder", "vitt", "-i", str(indir), "-o",
+                    str(tmp_path / "x"), "--once",
+                    "--from-export", artifact, "--int8"])
+    with pytest.raises(SystemExit):
+        serve.main(["--encoder", "vitt", "-i", str(indir), "-o",
+                    str(tmp_path / "x"), "--once", "--input-size", "70",
+                    "--from-export", artifact])
