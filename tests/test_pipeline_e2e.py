@@ -96,3 +96,28 @@ def test_full_pipeline(tmp_path_factory, tmp_path, monkeypatch, capsys):
     assert set(overall) == {"l1", "abs_rel", "d1", "rmse"}
     for k, v in overall.items():
         assert np.isfinite(float(v)), f"overall {k} not finite: {v}"
+
+    # ---- 6. AOT export from the trained checkpoint -> serve replay -----
+    from e3d_tpu.cli import export_model, serve
+
+    artifact = str(tmp_path / "vitt.stablehlo")
+    export_model.main(["--encoder", "vitt", "--load-from", ckpt,
+                       "--frame-hw", "64", "64", "--batch-size", "4",
+                       "--input-size", "56", "-o", artifact, "--check"])
+    out = capsys.readouterr().out
+    assert "replay check" in out
+    frames_dir = os.path.join(root, "SyntheticColon_I", "Frames_S1")
+    served = tmp_path / "served"
+    serve.main(["--encoder", "vitt", "--load-from", ckpt,
+                "-i", frames_dir, "-o", str(served), "--once",
+                "--save-numpy", "--input-size", "56", "--batch-size", "4",
+                "--from-export", artifact])
+    served_npy = sorted(glob.glob(str(served / "FrameBuffer_*.npy")))
+    assert len(served_npy) == 4
+    # The exported serve output equals the live infer output on the
+    # SAME trained weights (same program, same checkpoint).
+    ref_npy = sorted(glob.glob(os.path.join(
+        root, "SyntheticColon_I", "Frames_S1_OP", "FrameBuffer_*.npy")))
+    for a, b in zip(served_npy, ref_npy):
+        np.testing.assert_allclose(np.load(a), np.load(b),
+                                   rtol=1e-4, atol=1e-4)
