@@ -169,3 +169,33 @@ def test_pp_mode_guards():
         DepthTask(encoder="vitt",
                   device_mesh=build_mesh(MeshSpec(data=8, model=1)),
                   pipeline_parallel=2)
+
+
+def test_pp_forward_and_grads_vits_realistic_geometry(rng):
+    """PP parity at REAL vits geometry (384-dim, 12 blocks, taps
+    [2,5,8,11] spread 2-per-stage over 4 stages, 126 px -> 82 tokens) —
+    the vitt cases can't catch stage-boundary/tap bugs that only appear
+    when taps don't align with stage edges."""
+    mesh = build_mesh(MeshSpec(data=2, model=4))
+    model = build_depth_model("vits", 20.0, dtype=jnp.float32)
+    img = jnp.asarray(rng.normal(size=(4, 126, 126, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), img[:1])["params"]
+
+    ref = model.apply({"params": params}, img)
+    fwd = build_pp_depth_forward(model, mesh, stages=4, n_micro=2)
+    out = jax.jit(fwd)(params, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+    def loss_ref(p):
+        return jnp.mean(model.apply({"params": p}, img) ** 2)
+
+    def loss_pp(p):
+        return jnp.mean(fwd(p, img) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5 * scale)
