@@ -115,6 +115,7 @@ def main(argv: list[str] | None = None) -> None:
         quant_int8=bool(cfg.model.get("quant_int8", False)),
         pipeline_parallel=int(cfg.trainer.get("pipeline_parallel", 0)),
         pipe_microbatches=int(cfg.trainer.get("pipe_microbatches", 0)),
+        pipe_virtual=int(cfg.trainer.get("pipe_virtual", 1)),
     )
     params = load_params(checkpoint_path, cfg.model.encoder, task,
                          size=int(cfg.dataset.size))

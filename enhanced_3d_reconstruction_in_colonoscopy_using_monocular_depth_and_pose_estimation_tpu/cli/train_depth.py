@@ -123,6 +123,7 @@ def main(argv: list[str] | None = None) -> None:
                        else None),
         pipeline_parallel=int(cfg.trainer.get("pipeline_parallel", 0)),
         pipe_microbatches=int(cfg.trainer.get("pipe_microbatches", 0)),
+        pipe_virtual=int(cfg.trainer.get("pipe_virtual", 1)),
     )
 
     # Encoder bootstrap from the DAv2 metric checkpoint, when present

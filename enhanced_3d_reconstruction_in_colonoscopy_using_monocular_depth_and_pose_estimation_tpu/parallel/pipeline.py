@@ -63,34 +63,54 @@ def unstack_block_params(stacked: Any, depth: int) -> dict:
 
 def pipeline_vit_taps(block_apply, stacked_params: Any, x: Array,
                       taps: list[int], mesh, stages: int,
-                      n_micro: int) -> Array:
-    """Run ``depth`` transformer blocks as a ``stages``-deep GPipe pipeline.
+                      n_micro: int, virtual: int = 1) -> Array:
+    """Run ``depth`` transformer blocks as a ``stages``-deep pipeline.
+
+    ``virtual=1`` is classic GPipe: device ``d`` owns one contiguous
+    stage, per-microbatch bubble ``(S-1)/(M+S-1)``. ``virtual=V>1`` is
+    the Megatron-style interleaved (looped) schedule: the blocks split
+    into ``S*V`` chunks, device ``d`` owns chunks ``{d, d+S, ...}``, and
+    each microbatch loops around the device ring ``V`` times — per
+    chunk-step utilization rises to ``M*V/(S*V + M - 1)`` (e.g. S=4 M=4:
+    57% GPipe -> 84% at V=4) at the cost of ``V``x more ppermute hops.
+    A microbatch at ring position ``j = tick - m`` sits on device
+    ``j mod S`` running chunk ``j``; with ``M <= S`` no device ever has
+    two microbatches due the same tick, so one in-flight buffer per
+    device suffices (asserted below — larger M would need per-device
+    work queues).
 
     Args:
       block_apply: ``(single_block_params, tokens) -> tokens`` — one
         transformer block (already closed over its static config).
       stacked_params: output of :func:`stack_block_params`, leading dim
-        ``depth = stages * layers_per_stage``.
+        ``depth = stages * virtual * layers_per_chunk``.
       x: ``(B, T, C)`` token activations AFTER embedding (cls + pos).
       taps: global block indices whose OUTPUTS feed the DPT head.
       mesh: the ``('data', 'model')`` device mesh; ``model`` = pipeline.
       stages: pipeline depth; must equal ``mesh.shape['model']``.
       n_micro: microbatches per (per-data-shard) batch; the local batch
         must divide by it.
+      virtual: chunks per device (interleaved schedule when > 1).
 
     Returns:
       ``(n_taps, B, T, C)`` tap activations (same dtype as ``x``),
       replicated over the pipeline axis / sharded over ``data``.
     """
     depth_leading = jax.tree.leaves(stacked_params)[0].shape[0]
-    if depth_leading % stages:
+    chunks = stages * virtual
+    if depth_leading % chunks:
         raise ValueError(f"depth {depth_leading} not divisible by "
-                         f"{stages} pipeline stages")
-    lps = depth_leading // stages
+                         f"{stages} stages x {virtual} virtual chunks")
+    lpc = depth_leading // chunks
     if mesh.shape[meshlib.MODEL_AXIS] != stages:
         raise ValueError(
             f"pipeline stages={stages} != mesh model axis "
             f"{mesh.shape[meshlib.MODEL_AXIS]}")
+    if virtual > 1 and n_micro > stages:
+        raise ValueError(
+            f"interleaved schedule needs n_micro <= stages "
+            f"({n_micro} > {stages}): two microbatches would be due on "
+            f"one device in the same tick")
     n_data = mesh.shape[meshlib.DATA_AXIS]
     b = x.shape[0]
     if b % (n_data * n_micro):
@@ -99,13 +119,16 @@ def pipeline_vit_taps(block_apply, stacked_params: Any, x: Array,
     taps = list(taps)
     n_taps = len(taps)
 
-    # (depth, ...) -> (stages, lps, ...) so the stage dim can shard.
+    # (depth, ...) -> (V, S, lpc, ...): chunk c = v*S + s lives on device
+    # s at local slot v, so the S dim shards over the pipeline axis.
     staged = jax.tree.map(
-        lambda p: p.reshape((stages, lps) + p.shape[1:]), stacked_params)
-    gids = jnp.arange(depth_leading, dtype=jnp.int32).reshape(stages, lps)
+        lambda p: p.reshape((virtual, stages, lpc) + p.shape[1:]),
+        stacked_params)
+    gids = jnp.arange(depth_leading, dtype=jnp.int32).reshape(
+        virtual, stages, lpc)
 
-    def stage_fn(params_lps, gids_lps, tokens):
-        """Apply this stage's ``lps`` blocks; collect owned taps."""
+    def chunk_fn(params_lpc, gids_lpc, tokens):
+        """Apply one chunk's ``lpc`` blocks; collect owned taps."""
         tap_ids = jnp.asarray(taps, jnp.int32)
 
         def one_layer(carry, xs):
@@ -118,45 +141,58 @@ def pipeline_vit_taps(block_apply, stacked_params: Any, x: Array,
 
         tacc0 = jnp.zeros((n_taps,) + tokens.shape, tokens.dtype)
         (h, tacc), _ = jax.lax.scan(one_layer, (tokens, tacc0),
-                                    (params_lps, gids_lps))
+                                    (params_lpc, gids_lpc))
         return h, tacc
 
     def pipelined(staged_local, gids_local, x_local):
-        # shard_map local views: stage dim is size 1 on each device.
-        params_lps = jax.tree.map(lambda p: p[0], staged_local)
-        gids_lps = gids_local[0]
+        # shard_map local views: (V, 1, lpc, ...) -> (V, lpc, ...).
+        params_v = jax.tree.map(lambda p: p[:, 0], staged_local)
+        gids_v = gids_local[:, 0]
         mb = x_local.shape[0] // n_micro
         micro = x_local.reshape((n_micro, mb) + x_local.shape[1:])
-        stage_idx = jax.lax.axis_index(meshlib.MODEL_AXIS)
-        is_first = stage_idx == 0
+        d = jax.lax.axis_index(meshlib.MODEL_AXIS)
 
         taps_acc0 = jnp.zeros((n_taps, n_micro, mb) + x_local.shape[1:],
                               x_local.dtype)
         buf0 = jnp.zeros((mb,) + x_local.shape[1:], x_local.dtype)
+        ring = [(i, (i + 1) % stages) for i in range(stages)]
 
         def tick(carry, t):
             buf, taps_acc = carry
-            # Stage 0 feeds microbatch t (clipped on drain ticks); later
-            # stages consume what ppermute delivered last tick.
-            inp = jnp.where(is_first,
-                            micro[jnp.clip(t, 0, n_micro - 1)], buf)
-            out, tacc = stage_fn(params_lps, gids_lps, inp)
-            # This stage processes microbatch t - stage_idx at tick t.
-            m_idx = t - stage_idx
-            valid = (m_idx >= 0) & (m_idx < n_micro)
-            mi = jnp.clip(m_idx, 0, n_micro - 1)
-            cur = jax.lax.dynamic_slice_in_dim(taps_acc, mi, 1, axis=1)
-            new = jnp.where(valid, tacc[:, None], cur)
+            # Ring positions this device owns: j = d + v*S. At most one
+            # has a live microbatch m = t - j this tick (M <= S when
+            # V > 1; unique j per device when V == 1).
+            j_cand = d + jnp.arange(virtual, dtype=jnp.int32) * stages
+            m_cand = t - j_cand
+            valid_v = (m_cand >= 0) & (m_cand < n_micro)
+            valid = jnp.any(valid_v)
+            v_idx = jnp.argmax(valid_v)  # 0 when idle (masked anyway)
+            m_idx = jnp.clip(t - (d + v_idx * stages), 0, n_micro - 1)
+            # Chunk v*S+0 on device 0 STARTS a microbatch (inject);
+            # every other chunk continues what the ring delivered.
+            inject = (d == 0) & (v_idx == 0)
+            inp = jnp.where(inject, micro[m_idx], buf)
+            params_c = jax.tree.map(
+                lambda p: jax.lax.dynamic_index_in_dim(
+                    p, v_idx, 0, keepdims=False), params_v)
+            gids_c = jax.lax.dynamic_index_in_dim(gids_v, v_idx, 0,
+                                                  keepdims=False)
+            out, tacc = chunk_fn(params_c, gids_c, inp)
+            cur = jax.lax.dynamic_slice_in_dim(taps_acc, m_idx, 1, axis=1)
+            # ACCUMULATE, don't overwrite: with virtual > 1 this device
+            # revisits the same microbatch slot once per lap, and a
+            # later chunk's tacc is exactly zero in the tap slots an
+            # earlier chunk on this device already filled.
+            new = jnp.where(valid, cur + tacc[:, None].astype(cur.dtype),
+                            cur)
             taps_acc = jax.lax.dynamic_update_slice_in_dim(
-                taps_acc, new, mi, axis=1)
-            nxt = jax.lax.ppermute(
-                out, meshlib.MODEL_AXIS,
-                [(i, i + 1) for i in range(stages - 1)])
+                taps_acc, new, m_idx, axis=1)
+            nxt = jax.lax.ppermute(out, meshlib.MODEL_AXIS, ring)
             return (nxt, taps_acc), None
 
-        ticks = jnp.arange(n_micro + stages - 1, dtype=jnp.int32)
+        ticks = jnp.arange(chunks + n_micro - 1, dtype=jnp.int32)
         (_, taps_acc), _ = jax.lax.scan(tick, (buf0, taps_acc0), ticks)
-        # Each (tap, microbatch) slot is nonzero on exactly one stage.
+        # Each (tap, microbatch) slot is nonzero on exactly one device.
         taps_full = jax.lax.psum(taps_acc, meshlib.MODEL_AXIS)
         return taps_full.reshape((n_taps, n_micro * mb)
                                  + x_local.shape[1:])
@@ -164,8 +200,8 @@ def pipeline_vit_taps(block_apply, stacked_params: Any, x: Array,
     out = shard_map(
         pipelined, mesh=mesh,
         in_specs=(
-            jax.tree.map(lambda _: P(meshlib.MODEL_AXIS), staged),
-            P(meshlib.MODEL_AXIS),
+            jax.tree.map(lambda _: P(None, meshlib.MODEL_AXIS), staged),
+            P(None, meshlib.MODEL_AXIS),
             P(meshlib.DATA_AXIS),
         ),
         out_specs=P(None, meshlib.DATA_AXIS),
@@ -177,7 +213,8 @@ def pipeline_vit_taps(block_apply, stacked_params: Any, x: Array,
     return out
 
 
-def build_pp_depth_forward(model, mesh, stages: int, n_micro: int):
+def build_pp_depth_forward(model, mesh, stages: int, n_micro: int,
+                           virtual: int = 1):
     """``(params, img) -> depth`` with the ViT trunk pipelined.
 
     Re-implements the (small) glue of ``DinoViT.__call__`` /
@@ -228,7 +265,8 @@ def build_pp_depth_forward(model, mesh, stages: int, n_micro: int):
 
         stacked = stack_block_params(p, depth)
         tap_acts = pipeline_vit_taps(block_apply, stacked, x, taps,
-                                     mesh, stages, n_micro)
+                                     mesh, stages, n_micro,
+                                     virtual=virtual)
         results = []
         for k in range(len(taps)):
             y = final_norm.apply({"params": p["norm"]}, tap_acts[k])

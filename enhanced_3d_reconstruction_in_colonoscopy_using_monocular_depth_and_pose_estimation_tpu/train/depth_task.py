@@ -73,6 +73,7 @@ class DepthTask:
         seq_parallel: bool = False,
         pipeline_parallel: int = 0,
         pipe_microbatches: int = 0,
+        pipe_virtual: int = 1,
     ):
         # quant_int8 is inference-only (zero gradients through round);
         # it is exposed here so the test/eval CLI can run quantized.
@@ -121,9 +122,10 @@ class DepthTask:
 
             self.pipe_microbatches = (int(pipe_microbatches)
                                       or self.pipeline_parallel)
+            self.pipe_virtual = max(1, int(pipe_virtual))
             self._pp_forward = build_pp_depth_forward(
                 self.model, self.mesh, self.pipeline_parallel,
-                self.pipe_microbatches)
+                self.pipe_microbatches, virtual=self.pipe_virtual)
         else:
             self._pp_forward = None
         self._model_repl = None  # data_shards=1 clone, built on demand

@@ -199,3 +199,66 @@ def test_pp_forward_and_grads_vits_realistic_geometry(rng):
         scale = max(float(jnp.abs(a).max()), 1.0)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5 * scale)
+
+
+def test_interleaved_schedule_exact_with_linear_blocks():
+    """Exact schedule check with transparent linear blocks (block i
+    multiplies by a distinct prime): every (chunk, microbatch, lap)
+    combination must route and tap-collect correctly for GPipe (V=1)
+    and the interleaved schedules (V=2, M in {1, 2})."""
+    from e3d_tpu.parallel.pipeline import pipeline_vit_taps
+
+    mesh = build_mesh(MeshSpec(data=4, model=2))
+    primes = [2.0, 3.0, 5.0, 7.0]
+    stacked = {"w": jnp.asarray(primes)}
+    B, T, C = 8, 4, 2
+    x = jnp.broadcast_to(jnp.arange(1.0, B + 1)[:, None, None], (B, T, C))
+
+    def block_apply(p, h):
+        return h * p["w"]
+
+    taps = [0, 1, 2, 3]
+    exp = jnp.stack([x * float(np.prod(primes[:k + 1])) for k in range(4)])
+    for v, m in [(1, 2), (2, 1), (2, 2)]:
+        out = jax.jit(lambda s, xx, v=v, m=m: pipeline_vit_taps(
+            block_apply, s, xx, taps, mesh, 2, m, virtual=v))(stacked, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                                   rtol=0, atol=0,
+                                   err_msg=f"virtual={v} n_micro={m}")
+
+
+def test_interleaved_pipeline_matches_data_parallel(rng):
+    """Interleaved (V=2) PP training == plain DP, including grad-accum
+    and optimizer — vitt's 4 blocks as 4 chunks looped twice around a
+    2-device ring."""
+    batch = make_batch(rng, accum=2)
+
+    def run(mesh, pp, v):
+        task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                         grad_accum=2, device_mesh=mesh, policy=POLICY_F32,
+                         grad_checkpoint=False, pipeline_parallel=pp,
+                         pipe_virtual=v)
+        state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+        metrics = None
+        for _ in range(2):
+            state, metrics = task.train_step(state, batch)
+        return state, metrics
+
+    state_dp, m_dp = run(build_mesh(MeshSpec(data=8, model=1)), 0, 1)
+    state_pp, m_pp = run(build_mesh(MeshSpec(data=4, model=2)), 2, 2)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_pp["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_dp.params),
+                    jax.tree.leaves(state_pp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_interleaved_requires_micro_le_stages():
+    from e3d_tpu.parallel.pipeline import pipeline_vit_taps
+
+    mesh = build_mesh(MeshSpec(data=4, model=2))
+    stacked = {"w": jnp.ones((4,))}
+    x = jnp.ones((16, 4, 2))
+    with pytest.raises(ValueError, match="n_micro <= stages"):
+        pipeline_vit_taps(lambda p, h: h, stacked, x, [3], mesh, 2,
+                          n_micro=4, virtual=2)
