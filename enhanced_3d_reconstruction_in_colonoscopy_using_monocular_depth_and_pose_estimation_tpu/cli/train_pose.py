@@ -23,6 +23,7 @@ def main(argv: list[str] | None = None) -> None:
     import jax.numpy as jnp
 
     from ..core import config as cfglib
+    from ..core.dtypes import policy_from_precision
     from ..core.logging import MetricLogger
     from ..data import PoseDataModule
     from ..parallel import mesh as meshlib
@@ -64,6 +65,7 @@ def main(argv: list[str] | None = None) -> None:
         total_steps=total_steps,
         clip_norm=float(cfg.trainer.gradient_clip_val),
         device_mesh=mesh,
+        policy=policy_from_precision(str(cfg.trainer.precision)),
     )
 
     logger = MetricLogger(run_dir, project="pose-estimation",

@@ -273,6 +273,23 @@ def evaluate_depth(task: DepthTask, params, loader, pre: DevicePreprocessor,
     return out
 
 
+def _accumulate_pose_val(sums: dict, counts: dict, metrics: dict,
+                         batch_size: int) -> None:
+    """Batch-mean accumulation for pose validation metrics.
+
+    RTE is a mean over consecutive-frame deltas (``jnp.diff``), so on a
+    1-sample batch — e.g. a trailing val batch — it is mean-of-empty =
+    NaN by construction, which would poison the epoch mean. That batch
+    contributes nothing to ``rte`` (undefined, not zero). Genuine NaNs
+    (a diverged model on a batch with >= 2 samples) still propagate.
+    """
+    for k, v in metrics.items():
+        if k == "rte" and batch_size < 2:
+            continue
+        sums[k] = sums.get(k, 0.0) + float(v)
+        counts[k] = counts.get(k, 0) + 1
+
+
 def fit_pose(
     task,
     datamodule,
@@ -349,7 +366,7 @@ def fit_pose(
 
         # epoch-end validation + full-trajectory metrics
         val_sums: dict[str, float] = {}
-        n_batches = 0
+        val_counts: dict[str, int] = {}
         preds, gts = [], []
         for batch in datamodule.val_loader():
             jbatch = {"input": jnp.asarray(batch["input"]),
@@ -357,10 +374,10 @@ def fit_pose(
             metrics, pred = task.eval_step(state, jbatch)
             preds.append(np.asarray(pred))
             gts.append(np.asarray(batch["target"]))
-            for k, v in metrics.items():
-                val_sums[k] = val_sums.get(k, 0.0) + float(v)
-            n_batches += 1
-        val = {k: v / max(n_batches, 1) for k, v in val_sums.items()}
+            _accumulate_pose_val(val_sums, val_counts, metrics,
+                                 int(jbatch["target"].shape[0]))
+        val = {k: v / max(val_counts.get(k, 0), 1)
+               for k, v in val_sums.items()}
         if preds:
             traj = task.trajectory_metrics(
                 jnp.asarray(np.concatenate(preds)),

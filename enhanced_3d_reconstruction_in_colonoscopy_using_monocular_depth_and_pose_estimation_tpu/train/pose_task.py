@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..core.dtypes import POLICY_F32, DtypePolicy
 from ..evaluation.pose_metrics import compute_pose_errors, evaluate_trajectory
 from ..losses.pose_loss import pose_loss
 from ..models.resnet_pose import PoseEstimationNet
@@ -49,8 +50,14 @@ class PoseTask:
         total_steps: int = 1000,
         clip_norm: float = 1.0,
         device_mesh=None,
+        policy: DtypePolicy = POLICY_F32,
     ):
-        self.model = PoseEstimationNet(in_channels=in_channels)
+        # Reference parity is '32-true' (pose_estimation.yaml) -> f32
+        # compute. trainer.precision=bf16-mixed opts into bf16 conv/GEMM
+        # compute with f32 params/BN stats/loss — the same master-weight
+        # policy the depth task uses (core/dtypes.py).
+        self.model = PoseEstimationNet(in_channels=in_channels,
+                                       dtype=policy.compute_dtype)
         self.beta = float(beta)
         self.mesh = device_mesh or meshlib.build_mesh()
         self._sched_args = dict(total_steps=total_steps,

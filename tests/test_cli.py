@@ -89,6 +89,9 @@ def test_train_pose_cli_smoke(simcol_root, tmp_path, monkeypatch):
     train_pose.main(_dataset_overrides(simcol_root) + [
         "trainer.max_epochs=1",
         "++trainer.max_steps=2",
+        # exercises the trainer.precision -> PoseTask policy wiring
+        # (default parity stays '32-true'; bf16-mixed is the opt-in)
+        "trainer.precision=bf16-mixed",
     ])
     out = tmp_path / "test_lightning_results" / "pose_results.json"
     assert out.exists()

@@ -82,6 +82,51 @@ def test_pose_train_and_eval_step(rng):
     assert float(traj["ate"]) < 1e-4
 
 
+def test_pose_val_rte_skips_single_sample_batches():
+    """A 1-sample val batch has no consecutive-frame delta, so its RTE is
+    NaN by construction; it must not poison the epoch mean. Genuine NaNs
+    on batches with >= 2 samples still propagate."""
+    from e3d_tpu.train.loop import _accumulate_pose_val
+
+    sums, counts = {}, {}
+    _accumulate_pose_val(sums, counts, {"loss": 1.0, "rte": 0.5}, 4)
+    _accumulate_pose_val(sums, counts, {"loss": 2.0, "rte": float("nan")}, 1)
+    assert sums["rte"] / counts["rte"] == 0.5
+    assert sums["loss"] / counts["loss"] == 1.5
+    _accumulate_pose_val(sums, counts, {"loss": 1.0, "rte": float("nan")}, 2)
+    assert not np.isfinite(sums["rte"] / counts["rte"])
+
+
+def test_pose_bf16_mixed_precision(rng):
+    """trainer.precision=bf16-mixed: bf16 compute, f32 master state.
+
+    Default pose parity stays '32-true'; the opt-in policy must keep
+    params/BN stats f32 (master weights), return f32 predictions, and
+    track the f32 step loss closely on one step from the same init."""
+    mesh = build_mesh(MeshSpec(data=8, model=1))
+    x = rng.normal(size=(8, 64, 64, 8)).astype(np.float32)
+    t = rng.normal(size=(8, 7)).astype(np.float32)
+    t[:, 3:] /= np.linalg.norm(t[:, 3:], axis=1, keepdims=True)
+    batch = {"input": jnp.asarray(x), "target": jnp.asarray(t)}
+
+    task16 = PoseTask(total_steps=10, device_mesh=mesh,
+                      policy=e3d_tpu.core.POLICY_BF16)
+    state16 = task16.init_state(jax.random.PRNGKey(0), (64, 64))
+    state16, m16 = task16.train_step(state16, batch)
+    assert all(leaf.dtype == jnp.float32
+               for leaf in jax.tree.leaves(state16.params))
+    assert all(leaf.dtype == jnp.float32
+               for leaf in jax.tree.leaves(state16.batch_stats))
+    _, pred16 = task16.eval_step(state16, batch)
+    assert pred16.dtype == jnp.float32
+
+    task32 = PoseTask(total_steps=10, device_mesh=mesh)
+    state32 = task32.init_state(jax.random.PRNGKey(0), (64, 64))
+    _, m32 = task32.train_step(state32, batch)
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]),
+                               rtol=0.05)
+
+
 def test_weighted_accum_matches_unweighted(rng):
     """A zero-weighted padded chunk must not affect the update: accum=2
     with weights [1, 0] == accum=1 on the first microbatch alone
