@@ -22,6 +22,7 @@ from ..core.checkpoint import CheckpointManager, EarlyStopping
 from ..core.debug import StepTimer
 from ..core.logging import MetricLogger
 from ..core.metrics import MetricBank
+from ..core.preempt import PreemptionGuard
 from ..data.preprocess import DevicePreprocessor
 from ..parallel import mesh as meshlib
 from .depth_task import DepthTask, DepthTrainState
@@ -55,6 +56,30 @@ def _restore_stopper(stopper: EarlyStopping, ckpt: CheckpointManager) -> None:
     if m and "es_bad_count" in m:
         stopper.best = float(m["es_best"])
         stopper.bad_count = int(m["es_bad_count"])
+
+
+def _handle_preemption(ckpt: CheckpointManager, step: int, state,
+                       stopper: EarlyStopping) -> None:
+    """Save a final mid-run checkpoint on SIGTERM/SIGINT.
+
+    val_loss gets a sentinel so the save can never displace a true
+    best-k slot (it lands in the ``latest/`` store); the early-stop state
+    rides along so a resumed run keeps its patience counter. If the
+    signal arrived right after a val-boundary save of the same step,
+    there is nothing newer to write."""
+    if ckpt.latest_step() == int(step):
+        print(f"[preempt] signal received at step {step} "
+              f"(already checkpointed); exiting cleanly")
+        return
+    ckpt.save(step, state, {
+        "val_loss": 1e30,
+        "es_best": (float(stopper.best) if stopper.best is not None
+                    else 1e30),
+        "es_bad_count": float(stopper.bad_count),
+        "preempted": 1.0,
+    })
+    print(f"[preempt] signal received — saved latest/ at step {step}; "
+          f"restart with trainer.resume=true to continue")
 
 
 def _group_accum(loader: Iterable[dict], accum: int):
@@ -129,99 +154,104 @@ def fit_depth(
     bank_update = jax.jit(MetricBank.update)
 
     stop = False
-    for epoch in range(max_epochs):
-        if stop:
-            break
-        bank = MetricBank.zeros(bank_keys)
-        t_epoch = time.time()
-        for group in _group_accum(iter(train_loader), accum):
-            n_real = len(group)
-            # Any microbatch the loader could not process-shard (trailing
-            # batch not divisible by process_count) forces the whole accum
-            # group onto the replicated path.
-            replicated = any(bool(b.pop("_replicated", False))
-                             for b in group)
-            if n_real < accum:
-                # Trailing partial group: pad to static shape (no
-                # recompile), mask padding with zero weights below.
-                group = group + [group[-1]] * (accum - n_real)
-            # Global-array assembly: identical code path for 1 and N
-            # processes (each process contributed its local rows; see
-            # PrefetchLoader + parallel.mesh.shard_batch).
-            group = [meshlib.shard_batch(task.mesh, b,
-                                         force_replicated=replicated)
-                     for b in group]
-            mb_global = group[0]["image"].shape[0]
-            sharded = (not replicated
-                       and mb_global % task.mesh.shape[meshlib.DATA_AXIS]
-                       == 0)
-            rng, prep_rng = jax.random.split(rng)
-            prepped = [
-                pre(b, train=True,
-                    rng=jax.random.fold_in(prep_rng, i),
-                    max_depths=max_depths)
-                for i, b in enumerate(group)
-            ]
-            batch = {
-                k: stacker(prepped, k, sharded)
-                for k in ("image", "depth")
-            }
-            batch["weight"] = jnp.asarray(
-                [1.0] * n_real + [0.0] * (accum - n_real), jnp.float32)
-            if combined:
-                batch["max_depth"] = stacker(prepped, "max_depth", sharded)
-            with timer.step():
-                state, metrics = task.train_step(state, batch)
-                bank = bank_update(bank, metrics)  # device-side, no sync
-                step = host_step = host_step + 1
-                if (step % log_every == 0 or step % val_every == 0
-                        or (max_steps and step >= max_steps)):
-                    # Host sync only at logging/validation boundaries —
-                    # otherwise steps stay fully pipelined on device.
-                    lr_idx = min(step - 1, len(lr_table["encoder"]) - 1)
-                    logger.log(
-                        {"train_loss": metrics["loss"],
-                         **{f"Train/train_{k}": metrics[k]
-                            for k in ("d1", "abs_rel", "rmse", "l1")},
-                         "lr/encoder": float(lr_table["encoder"][lr_idx]),
-                         "lr/decoder": float(lr_table["decoder"][lr_idx]),
-                         "epoch": epoch}, step=step)
+    with PreemptionGuard() as guard:
+        for epoch in range(max_epochs):
+            if stop:
+                break
+            bank = MetricBank.zeros(bank_keys)
+            t_epoch = time.time()
+            for group in _group_accum(iter(train_loader), accum):
+                n_real = len(group)
+                # Any microbatch the loader could not process-shard (trailing
+                # batch not divisible by process_count) forces the whole accum
+                # group onto the replicated path.
+                replicated = any(bool(b.pop("_replicated", False))
+                                 for b in group)
+                if n_real < accum:
+                    # Trailing partial group: pad to static shape (no
+                    # recompile), mask padding with zero weights below.
+                    group = group + [group[-1]] * (accum - n_real)
+                # Global-array assembly: identical code path for 1 and N
+                # processes (each process contributed its local rows; see
+                # PrefetchLoader + parallel.mesh.shard_batch).
+                group = [meshlib.shard_batch(task.mesh, b,
+                                             force_replicated=replicated)
+                         for b in group]
+                mb_global = group[0]["image"].shape[0]
+                sharded = (not replicated
+                           and mb_global % task.mesh.shape[meshlib.DATA_AXIS]
+                           == 0)
+                rng, prep_rng = jax.random.split(rng)
+                prepped = [
+                    pre(b, train=True,
+                        rng=jax.random.fold_in(prep_rng, i),
+                        max_depths=max_depths)
+                    for i, b in enumerate(group)
+                ]
+                batch = {
+                    k: stacker(prepped, k, sharded)
+                    for k in ("image", "depth")
+                }
+                batch["weight"] = jnp.asarray(
+                    [1.0] * n_real + [0.0] * (accum - n_real), jnp.float32)
+                if combined:
+                    batch["max_depth"] = stacker(prepped, "max_depth", sharded)
+                with timer.step():
+                    state, metrics = task.train_step(state, batch)
+                    bank = bank_update(bank, metrics)  # device-side, no sync
+                    step = host_step = host_step + 1
+                    if (step % log_every == 0 or step % val_every == 0
+                            or (max_steps and step >= max_steps)):
+                        # Host sync only at logging/validation boundaries —
+                        # otherwise steps stay fully pipelined on device.
+                        lr_idx = min(step - 1, len(lr_table["encoder"]) - 1)
+                        logger.log(
+                            {"train_loss": metrics["loss"],
+                             **{f"Train/train_{k}": metrics[k]
+                                for k in ("d1", "abs_rel", "rmse", "l1")},
+                             "lr/encoder": float(lr_table["encoder"][lr_idx]),
+                             "lr/decoder": float(lr_table["decoder"][lr_idx]),
+                             "epoch": epoch}, step=step)
 
-            if step % val_every == 0 or (max_steps and step >= max_steps):
-                val_metrics = evaluate_depth(
-                    task, state.params, datamodule.val_loader(), pre,
-                    max_depths=max_depths)
-                logger.log({"val_loss": val_metrics["loss"],
-                            **{f"Val/val_{k}": v
-                               for k, v in val_metrics.items()
-                               if k != "loss"}},
-                           step=step, force_stdout=True)
-                # Stopper first so its post-update state rides the
-                # checkpoint: resume restores the patience counter too.
-                should_stop = stopper.update(float(val_metrics["loss"]))
-                ckpt.save(step, state,
-                          {"val_loss": float(val_metrics["loss"]),
-                           "es_best": float(stopper.best),
-                           "es_bad_count": float(stopper.bad_count)})
-                if should_stop:
-                    print(f"[early-stop] val_loss plateaued "
-                          f"(best {stopper.best:.5f})")
+                if step % val_every == 0 or (max_steps and step >= max_steps):
+                    val_metrics = evaluate_depth(
+                        task, state.params, datamodule.val_loader(), pre,
+                        max_depths=max_depths)
+                    logger.log({"val_loss": val_metrics["loss"],
+                                **{f"Val/val_{k}": v
+                                   for k, v in val_metrics.items()
+                                   if k != "loss"}},
+                               step=step, force_stdout=True)
+                    # Stopper first so its post-update state rides the
+                    # checkpoint: resume restores the patience counter too.
+                    should_stop = stopper.update(float(val_metrics["loss"]))
+                    ckpt.save(step, state,
+                              {"val_loss": float(val_metrics["loss"]),
+                               "es_best": float(stopper.best),
+                               "es_bad_count": float(stopper.bad_count)})
+                    if should_stop:
+                        print(f"[early-stop] val_loss plateaued "
+                              f"(best {stopper.best:.5f})")
+                        stop = True
+                        break
+                if guard.requested:
+                    _handle_preemption(ckpt, step, state, stopper)
                     stop = True
                     break
-            if max_steps and step >= max_steps:
-                stop = True
-                break
-        summary = timer.summary()
-        print(f"[epoch {epoch}] {time.time() - t_epoch:.1f}s "
-              f"({summary.get('steps_per_s', 0):.2f} steps/s)")
-        if float(bank["loss"].count) > 0:
-            epoch_means = MetricBank.compute(bank)
-            logger.log({f"Train/epoch_{k}": float(v)
-                        for k, v in epoch_means.items()},
-                       step=int(state.step))
-        if summary:
-            logger.log({f"perf/{k}": v for k, v in summary.items()},
-                       step=int(state.step))
+                if max_steps and step >= max_steps:
+                    stop = True
+                    break
+            summary = timer.summary()
+            print(f"[epoch {epoch}] {time.time() - t_epoch:.1f}s "
+                  f"({summary.get('steps_per_s', 0):.2f} steps/s)")
+            if float(bank["loss"].count) > 0:
+                epoch_means = MetricBank.compute(bank)
+                logger.log({f"Train/epoch_{k}": float(v)
+                            for k, v in epoch_means.items()},
+                           step=int(state.step))
+            if summary:
+                logger.log({f"perf/{k}": v for k, v in summary.items()},
+                           step=int(state.step))
     ckpt.close()
     return state
 
@@ -340,59 +370,66 @@ def fit_pose(
     train_loader = datamodule.train_loader()
 
     stop = False
-    for epoch in range(max_epochs):
-        if stop:
-            break
-        bank = MetricBank.zeros(pose_keys)
-        for batch in train_loader:
-            jbatch = meshlib.shard_batch(
-                task.mesh,
-                {"input": batch["input"], "target": batch["target"]},
-                force_replicated=bool(batch.pop("_replicated", False)))
-            state, metrics = task.train_step(state, jbatch)
-            bank = bank_update(bank, metrics)
-            step = host_step = host_step + 1
-            if step % log_every == 0 or (max_steps and step >= max_steps):
-                # Host sync only at logging boundaries (pipelined between).
-                logger.log({"train_loss": metrics["loss"],
-                            **{f"Train/train_{k}": metrics[k]
-                               for k in ("ate", "rte", "rote")},
-                            "lr": float(lr_table[min(step - 1,
-                                                     len(lr_table) - 1)]),
-                            "epoch": epoch}, step=step)
-            if max_steps and step >= max_steps:
-                stop = True
+    with PreemptionGuard() as guard:
+        for epoch in range(max_epochs):
+            if stop:
                 break
+            bank = MetricBank.zeros(pose_keys)
+            for batch in train_loader:
+                jbatch = meshlib.shard_batch(
+                    task.mesh,
+                    {"input": batch["input"], "target": batch["target"]},
+                    force_replicated=bool(batch.pop("_replicated", False)))
+                state, metrics = task.train_step(state, jbatch)
+                bank = bank_update(bank, metrics)
+                step = host_step = host_step + 1
+                if step % log_every == 0 or (max_steps and step >= max_steps):
+                    # Host sync only at logging boundaries (pipelined between).
+                    logger.log({"train_loss": metrics["loss"],
+                                **{f"Train/train_{k}": metrics[k]
+                                   for k in ("ate", "rte", "rote")},
+                                "lr": float(lr_table[min(step - 1,
+                                                         len(lr_table) - 1)]),
+                                "epoch": epoch}, step=step)
+                if guard.requested:
+                    _handle_preemption(ckpt, step, state, stopper)
+                    stop = True
+                    break
+                if max_steps and step >= max_steps:
+                    stop = True
+                    break
+            if guard.requested:
+                break  # already checkpointed; skip epoch-end validation
 
-        # epoch-end validation + full-trajectory metrics
-        val_sums: dict[str, float] = {}
-        val_counts: dict[str, int] = {}
-        preds, gts = [], []
-        for batch in datamodule.val_loader():
-            jbatch = {"input": jnp.asarray(batch["input"]),
-                      "target": jnp.asarray(batch["target"])}
-            metrics, pred = task.eval_step(state, jbatch)
-            preds.append(np.asarray(pred))
-            gts.append(np.asarray(batch["target"]))
-            _accumulate_pose_val(val_sums, val_counts, metrics,
-                                 int(jbatch["target"].shape[0]))
-        val = {k: v / max(val_counts.get(k, 0), 1)
-               for k, v in val_sums.items()}
-        if preds:
-            traj = task.trajectory_metrics(
-                jnp.asarray(np.concatenate(preds)),
-                jnp.asarray(np.concatenate(gts)))
-            val.update({f"traj_{k}": float(v) for k, v in traj.items()})
-        step = int(state.step)
-        logger.log({"val_loss": val.get("loss", float("nan")),
-                    **{f"Val/val_{k}": v for k, v in val.items()
-                       if k != "loss"}}, step=step, force_stdout=True)
-        should_stop = stopper.update(float(val.get("loss", 1e9)))
-        ckpt.save(step, state, {"val_loss": float(val.get("loss", 1e9)),
-                                "es_best": float(stopper.best),
-                                "es_bad_count": float(stopper.bad_count)})
-        if should_stop:
-            print(f"[early-stop] val_loss plateaued (best {stopper.best:.5f})")
-            break
+            # epoch-end validation + full-trajectory metrics
+            val_sums: dict[str, float] = {}
+            val_counts: dict[str, int] = {}
+            preds, gts = [], []
+            for batch in datamodule.val_loader():
+                jbatch = {"input": jnp.asarray(batch["input"]),
+                          "target": jnp.asarray(batch["target"])}
+                metrics, pred = task.eval_step(state, jbatch)
+                preds.append(np.asarray(pred))
+                gts.append(np.asarray(batch["target"]))
+                _accumulate_pose_val(val_sums, val_counts, metrics,
+                                     int(jbatch["target"].shape[0]))
+            val = {k: v / max(val_counts.get(k, 0), 1)
+                   for k, v in val_sums.items()}
+            if preds:
+                traj = task.trajectory_metrics(
+                    jnp.asarray(np.concatenate(preds)),
+                    jnp.asarray(np.concatenate(gts)))
+                val.update({f"traj_{k}": float(v) for k, v in traj.items()})
+            step = int(state.step)
+            logger.log({"val_loss": val.get("loss", float("nan")),
+                        **{f"Val/val_{k}": v for k, v in val.items()
+                           if k != "loss"}}, step=step, force_stdout=True)
+            should_stop = stopper.update(float(val.get("loss", 1e9)))
+            ckpt.save(step, state, {"val_loss": float(val.get("loss", 1e9)),
+                                    "es_best": float(stopper.best),
+                                    "es_bad_count": float(stopper.bad_count)})
+            if should_stop:
+                print(f"[early-stop] val_loss plateaued (best {stopper.best:.5f})")
+                break
     ckpt.close()
     return state

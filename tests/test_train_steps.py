@@ -206,6 +206,107 @@ def test_fit_depth_steps_on_trailing_partial_group(tmp_path, rng):
     assert int(state.step) == 3
 
 
+def test_preemption_guard_latches_and_restores():
+    """PreemptionGuard: SIGTERM latches the flag (no exception), handlers
+    are restored on exit, second SIGINT raises KeyboardInterrupt."""
+    import os
+    import signal
+    import time as _time
+
+    import pytest
+
+    from e3d_tpu.core.preempt import PreemptionGuard
+
+    prev_term = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
+    with PreemptionGuard() as g:
+        assert not g.requested
+        os.kill(os.getpid(), signal.SIGTERM)
+        _time.sleep(0.01)  # let the handler run at a bytecode boundary
+        assert g.requested
+        os.kill(os.getpid(), signal.SIGINT)
+        _time.sleep(0.01)  # first Ctrl-C: graceful (flag only)
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGINT)
+            _time.sleep(0.01)  # second Ctrl-C: exit now
+    assert signal.getsignal(signal.SIGTERM) is prev_term
+    assert signal.getsignal(signal.SIGINT) is prev_int
+
+
+def test_preemption_saves_and_resumes(tmp_path, rng):
+    """SIGTERM mid-epoch -> fit_depth saves a latest/ checkpoint at the
+    next step boundary and returns cleanly; resume continues from the
+    preempted step. The signal fires deterministically from the loader."""
+    import os
+    import signal
+
+    from e3d_tpu.core.checkpoint import CheckpointManager
+    from e3d_tpu.train import DepthTask
+    from e3d_tpu.train.loop import fit_depth
+
+    def mk_batch(i):
+        r = np.random.default_rng(i)
+        return {
+            "image": r.normal(size=(2, 28, 28, 3)).astype(np.float32),
+            "depth": r.uniform(0.5, 19.0, size=(2, 28, 28)).astype(
+                np.float32),
+        }
+
+    class Loader:
+        def __init__(self, fire_at=None):
+            self.batches = [mk_batch(i) for i in range(6)]
+            self.fire_at = fire_at
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            for i, b in enumerate(self.batches):
+                if i == self.fire_at:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+    class DM:
+        size = 28
+
+        def __init__(self, fire_at=None):
+            self.fire_at = fire_at
+
+        def setup(self, stage):
+            pass
+
+        def train_loader(self):
+            return Loader(self.fire_at)
+
+        def val_loader(self):
+            return Loader()
+
+    def mk_task():
+        mesh = build_mesh(MeshSpec(data=8, model=1))
+        return DepthTask(encoder="vitt", max_depth=20.0, total_steps=20,
+                         grad_accum=1, device_mesh=mesh,
+                         policy=e3d_tpu.core.POLICY_F32,
+                         grad_checkpoint=False)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    # fire while yielding batch 1 -> step 2 trains, then the guard check
+    # saves (step 2 is not a val boundary: val_every = 3)
+    state = fit_depth(mk_task(), DM(fire_at=1), max_epochs=3,
+                      log_dir=str(tmp_path / "logs"), ckpt_dir=ckpt_dir)
+    assert int(state.step) == 2
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_step() == 2
+    metrics = mgr.latest_metrics()
+    assert metrics["preempted"] == 1.0
+    mgr.close()
+
+    # restart: resumes from step 2 and finishes the epoch (6 more steps)
+    state = fit_depth(mk_task(), DM(), max_epochs=1,
+                      log_dir=str(tmp_path / "logs2"), ckpt_dir=ckpt_dir,
+                      resume=True)
+    assert int(state.step) == 8
+
+
 def test_depth_train_step_unrolled_accum_matches(rng, monkeypatch):
     """E3D_ACCUM_UNROLL (XLA-visible accumulation steps, a TPU perf knob —
     see perf/train_attrib.py) must not change training numerics."""
