@@ -58,6 +58,26 @@ def _restore_stopper(stopper: EarlyStopping, ckpt: CheckpointManager) -> None:
         stopper.bad_count = int(m["es_bad_count"])
 
 
+def _preempt_agreed(guard: PreemptionGuard) -> bool:
+    """Cross-process agreement on the preemption flag.
+
+    Single-process: just the local flag. Multi-process: the checkpoint
+    save below is COLLECTIVE (all hosts coordinate through the shared
+    Orbax dir), and a maintenance SIGTERM can land on workers a step
+    apart — if only the signalled subset entered the save, the cluster
+    would deadlock until the kill grace period. So every process calls
+    this at every step boundary (itself a collective): stop iff ANY
+    process saw the signal. Costs one scalar allgather per optimizer
+    step on multi-host only (ms-scale vs >1 s steps)."""
+    if jax.process_count() == 1:
+        return guard.requested
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray(bool(guard.requested)))
+    return bool(np.asarray(flags).any())
+
+
 def _handle_preemption(ckpt: CheckpointManager, step: int, state,
                        stopper: EarlyStopping) -> None:
     """Save a final mid-run checkpoint on SIGTERM/SIGINT.
@@ -234,7 +254,7 @@ def fit_depth(
                               f"(best {stopper.best:.5f})")
                         stop = True
                         break
-                if guard.requested:
+                if _preempt_agreed(guard):
                     _handle_preemption(ckpt, step, state, stopper)
                     stop = True
                     break
@@ -391,14 +411,14 @@ def fit_pose(
                                 "lr": float(lr_table[min(step - 1,
                                                          len(lr_table) - 1)]),
                                 "epoch": epoch}, step=step)
-                if guard.requested:
+                if _preempt_agreed(guard):
                     _handle_preemption(ckpt, step, state, stopper)
                     stop = True
                     break
                 if max_steps and step >= max_steps:
                     stop = True
                     break
-            if guard.requested:
+            if _preempt_agreed(guard):
                 break  # already checkpointed; skip epoch-end validation
 
             # epoch-end validation + full-trajectory metrics

@@ -1,6 +1,7 @@
 """Worker for the real 2-process multi-host training test.
 
 Run as: python -m tests._mp_worker <pid> <nprocs> <port> <fixture> <out.json>
+        [mode]
 
 Each process gets 4 virtual CPU devices (8 global at nprocs=2; 8 local at
 nprocs=1), joins a jax.distributed gloo cluster, and runs 2 real
@@ -8,6 +9,11 @@ nprocs=1), joins a jax.distributed gloo cluster, and runs 2 real
 production (process-sharded PrefetchLoader -> shard_batch global arrays
 -> jitted train_step). Writes its final eval loss to out.json; the parent
 asserts 1-process and 2-process runs agree.
+
+``mode=preempt``: rank 0 SIGTERMs ITSELF from a timer thread mid-fit; the
+cross-process preemption agreement (train/loop._preempt_agreed) must stop
+BOTH ranks at the same step and complete one coordinated latest/ save
+without deadlocking the collective.
 """
 
 import json
@@ -18,6 +24,7 @@ import sys
 def main() -> None:
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     fixture, out_path = sys.argv[4], sys.argv[5]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "train"
     per_proc = 8 // nprocs
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={per_proc}")
@@ -59,6 +66,60 @@ def main() -> None:
                      grad_checkpoint=False,
                      device_mesh=build_mesh(MeshSpec(data=8, model=1)))
     scratch = os.path.join(os.path.dirname(out_path), f"p{pid}")
+
+    if mode == "preempt":
+        import signal
+
+        from e3d_tpu.core.checkpoint import CheckpointManager
+
+        class FiringDM:
+            """Delegating datamodule whose train loader SIGTERMs this
+            process (rank 0 only) while yielding batch 2 — so step 2
+            trains, then the step-boundary agreement must stop BOTH
+            ranks and run one coordinated latest/ save."""
+
+            def __init__(self, inner, fire):
+                self._inner = inner
+                self._fire = fire
+
+            def __getattr__(self, k):
+                return getattr(self._inner, k)
+
+            def train_loader(self):
+                inner = self._inner.train_loader()
+                fire = self._fire
+
+                class L:
+                    def __len__(self):
+                        return len(inner)
+
+                    def __iter__(self):
+                        for i, b in enumerate(inner):
+                            if fire and i == 2:
+                                os.kill(os.getpid(), signal.SIGTERM)
+                            yield b
+
+                return L()
+
+        ckpt_dir = os.path.join(os.path.dirname(out_path),
+                                f"ckpt_pre_n{nprocs}")
+        state = fit_depth(
+            task, FiringDM(dm, fire=(pid == 0)), max_epochs=3,
+            log_dir=os.path.join(scratch, "logs"),
+            ckpt_dir=ckpt_dir, val_check_interval=100.0,
+            max_steps=6, seed=7)
+        mgr = CheckpointManager(ckpt_dir)
+        metrics = mgr.latest_metrics() or {}
+        out = {"pid": pid, "nprocs": nprocs,
+               "step": int(np.asarray(state.step)),
+               "latest_step": mgr.latest_step(),
+               "preempted": float(metrics.get("preempted", 0.0))}
+        mgr.close()
+        with open(out_path, "w", encoding="utf-8") as f:
+            json.dump(out, f)
+        print(f"[mp_worker {pid}/{nprocs} preempt] {out}", flush=True)
+        return
+
     state = fit_depth(
         task, dm, max_epochs=1,
         log_dir=os.path.join(scratch, "logs"),

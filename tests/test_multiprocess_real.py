@@ -30,18 +30,18 @@ def _free_port() -> int:
 
 
 def _run_workers(nprocs: int, port: int, fixture: str, outdir: str,
-                 timeout: int = 900) -> list[dict]:
+                 timeout: int = 900, mode: str = "train") -> list[dict]:
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     procs = []
     outs = []
     for pid in range(nprocs):
-        out_path = os.path.join(outdir, f"out_{nprocs}_{pid}.json")
+        out_path = os.path.join(outdir, f"out_{mode}_{nprocs}_{pid}.json")
         outs.append(out_path)
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "tests._mp_worker", str(pid),
-             str(nprocs), str(port), fixture, out_path],
+             str(nprocs), str(port), fixture, out_path, mode],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     results = []
@@ -83,3 +83,23 @@ def test_two_process_training_matches_single(tmp_path_factory, tmp_path):
                for r in [*single, *dual])
     assert single[0]["local_slice"] == pytest.approx(
         dual[0]["local_slice"] + dual[1]["local_slice"], rel=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_preemption_agrees(tmp_path_factory, tmp_path):
+    """SIGTERM lands on rank 0 ONLY, mid-epoch: the step-boundary
+    cross-process agreement (train/loop._preempt_agreed) must stop both
+    ranks at the same step and complete ONE coordinated latest/ save —
+    no half-entered collective, no deadlock (would time out here)."""
+    fixture = make_simcol_fixture(str(tmp_path_factory.mktemp("mp_pre")),
+                                  n_procedures=2, frames_per_proc=16,
+                                  hw=64)
+    dual = _run_workers(2, _free_port(), fixture, str(tmp_path),
+                        mode="preempt")
+    # rank 0 fires while yielding train batch 2 (grad_accum=2): step 2
+    # trains, then both ranks agree and save at step 2 — max_steps=6 is
+    # the backstop that turns a broken agreement into a step mismatch
+    # instead of a hang.
+    assert [r["step"] for r in dual] == [2, 2], dual
+    assert all(r["latest_step"] == 2 for r in dual), dual
+    assert all(r["preempted"] == 1.0 for r in dual), dual
