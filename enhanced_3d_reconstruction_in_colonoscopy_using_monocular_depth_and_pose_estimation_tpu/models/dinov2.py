@@ -145,6 +145,10 @@ class Attention(nn.Module):
     num_heads: int
     dtype: Any = jnp.bfloat16
     quant: bool = False
+    # Pad-once residual stream (DinoViT): x arrives pre-padded to the
+    # kernel block multiple and only the first n_valid tokens are real.
+    # None = x is unpadded (per-layer pad inside qkv_self_attention).
+    n_valid: int | None = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -156,7 +160,10 @@ class Attention(nn.Module):
         if attn_ops.use_fused_qkv():
             return attn_ops.qkv_self_attention(
                 x, w_qkv, b_qkv, w_proj, b_proj, self.num_heads,
-                quant=self.quant)
+                quant=self.quant, n_valid=self.n_valid)
+        assert self.n_valid is None, \
+            "pad-once requires the fused attention path (padded keys " \
+            "would enter the XLA softmax unmasked)"
         if self.quant:
             from ..ops.quant import int8_dense
 
@@ -232,6 +239,8 @@ class Block(nn.Module):
     # DP path engaged) — jax.device_count() would overcount for
     # replicated batches or meshes with a model axis.
     data_shards: int = 1
+    # Pad-once residual stream: see Attention.n_valid.
+    n_valid: int | None = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -254,7 +263,7 @@ class Block(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm1")(x)
         y = Attention(self.dim, self.num_heads, self.dtype,
-                      quant=attn_q, name="attn")(y)
+                      quant=attn_q, n_valid=self.n_valid, name="attn")(y)
         x = x + LayerScale(self.dim, name="ls1")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm2")(x)
@@ -266,6 +275,14 @@ class Block(nn.Module):
                     name="mlp")(y)
         return _shard_tokens(x + LayerScale(self.dim, name="ls2")(y),
                              self.token_sharding)
+
+
+def _pad_once_enabled() -> bool:
+    """Perf A/B knob for the pad-once residual stream (default on).
+    Trace-time like the other E3D_FLASH_* sweep knobs."""
+    import os
+
+    return os.environ.get("E3D_PAD_ONCE", "1") == "1"
 
 
 def _torch_bicubic_matrix(out_size: int, in_size: int,
@@ -398,12 +415,34 @@ class DinoViT(nn.Module):
         tap_set = set(taps)
         merge_after = min(taps) if (self.token_merge > 0 and taps) else None
         ffn = self.ffn or arch.get("ffn", "mlp")
+
+        # Pad-once residual stream: on the fused-attention (TPU) path, pad
+        # the token dim to the flash kernel's block multiple ONCE here
+        # (518 px: 1370 -> 1408 = 11*128, a lane multiple) instead of a
+        # pad + slice pair inside all ``depth`` attention layers. Every
+        # other encoder op is token-wise, so the pad rows stay inert
+        # garbage-but-finite; taps slice back to n_valid below, which also
+        # zeroes pad-row cotangents so weight grads are unchanged. Token
+        # merging changes the token count mid-stream, so it keeps the
+        # per-layer pad path.
+        n_valid: int | None = None
+        if (attn_ops.use_fused_qkv() and merge_after is None
+                and _pad_once_enabled()):
+            from ..ops.flash_attention import padded_len
+
+            n_tok = x.shape[1]
+            np_ = padded_len(n_tok)
+            if np_ != n_tok:
+                x = jnp.pad(x, ((0, 0), (0, np_ - n_tok), (0, 0)))
+                n_valid = n_tok
+
         x = _shard_tokens(x, self.token_sharding)
         for i in range(depth):
             x = block_cls(dim, heads, self.dtype, self.quant_int8,
                           self.quant_scope, ffn,
                           token_sharding=self.token_sharding,
                           data_shards=self.data_shards,
+                          n_valid=n_valid,
                           name=f"blocks_{i}")(x)
             if i in tap_set:
                 outputs[i] = x
@@ -416,7 +455,10 @@ class DinoViT(nn.Module):
 
         results: list[tuple[Array, Array]] = []
         for i in taps:
-            y = final_norm(outputs[i])
+            y = outputs[i]
+            if n_valid is not None:
+                y = y[:, :n_valid]
+            y = final_norm(y)
             if i in merged_taps:
                 from ..ops.token_merge import unmerge
 

@@ -74,7 +74,8 @@ def use_fused_qkv() -> bool:
 def qkv_self_attention(x: Array, w_qkv: Array, b_qkv: Array,
                        w_proj: Array, b_proj: Array, num_heads: int,
                        interpret: bool | None = None,
-                       quant: bool = False) -> Array:
+                       quant: bool = False,
+                       n_valid: int | None = None) -> Array:
     """Self-attention of x (B, N, C) with packed qkv/proj weights, fused
     q/k^T/v projection layouts feeding the Pallas kernel directly.
 
@@ -83,6 +84,14 @@ def qkv_self_attention(x: Array, w_qkv: Array, b_qkv: Array,
     single qkv Linear); ``w_proj`` (C, C) / ``b_proj`` (C,). Everything is
     computed in x.dtype (bf16 on the model path) with the same contraction
     order as the Dense-based path, so results match it to rounding.
+
+    ``n_valid``: when the caller keeps a pad-once residual stream
+    (``models/dinov2.py``: tokens padded to the kernel block multiple once
+    at embedding), x arrives pre-padded to ``padded_len(n_valid)`` — the
+    pad and the output slice below become no-ops and the result keeps the
+    padded row count. Rows >= n_valid of the output are garbage-but-finite
+    and must never feed valid rows (attention masks padded keys; every
+    other encoder op is token-wise).
 
     Design note: the token pad to the kernel's block multiple happens ONCE
     on x, and every layout change (head split, K transpose, head merge)
@@ -94,7 +103,10 @@ def qkv_self_attention(x: Array, w_qkv: Array, b_qkv: Array,
     b, n, c = x.shape
     h = num_heads
     hd = c // h
-    np_ = padded_len(n)
+    if n_valid is None:
+        n_valid = n
+    np_ = padded_len(n_valid)
+    assert n in (n_valid, np_), (n, n_valid, np_)
     xp = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0))) if np_ != n else x
     bias = b_qkv.astype(x.dtype).reshape(3, h, hd)
     if quant:
@@ -126,7 +138,8 @@ def qkv_self_attention(x: Array, w_qkv: Array, b_qkv: Array,
               + bias[1][None, :, :, None])
         v = (jnp.einsum("bnc,chd->bhnd", xp, w[:, 2])
              + bias[2][None, :, None, :])
-    out = flash_attention_fused(q, kt, v, n_valid=n, interpret=interpret)
+    out = flash_attention_fused(q, kt, v, n_valid=n_valid,
+                                interpret=interpret)
     out = out[:, :, :n]                                  # (b, h, n, hd)
     if quant:
         from .quant import int8_einsum, quantize_axes, quantize_cols
