@@ -73,6 +73,30 @@ def test_sequence_parallel_matches_data_parallel(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_seq_parallel_composes_with_fused_padded_stream(rng):
+    """SP + the fused-attention pad-once residual stream — the combination
+    a real multi-chip TPU executes (CPU tests and the dryrun otherwise take
+    the XLA branch). 42 px -> 10 tokens padded once to 16, sharded (data,
+    model) between blocks; GSPMD must partition around the Pallas call
+    (interpret mode here) and the result must still equal plain DP."""
+    from e3d_tpu.ops import attention as attn_ops
+
+    batch = make_batch(rng, hw=42)
+    mesh_dp = build_mesh(MeshSpec(data=8, model=1))
+    mesh_sp = build_mesh(MeshSpec(data=4, model=2))
+    state_dp, m_dp = _run_steps(mesh_dp, False, batch)
+    attn_ops.set_force_fused(True)
+    try:
+        state_sp, m_sp = _run_steps(mesh_sp, True, batch, sp=True)
+    finally:
+        attn_ops.set_force_fused(False)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_sp["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_dp.params),
+                    jax.tree.leaves(state_sp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_seq_parallel_constraint_is_built_in():
     """The token sharding is a build-time model field (jit-cache-keyed,
     like the int8 knobs) and resolves only when the model axis is >1."""
