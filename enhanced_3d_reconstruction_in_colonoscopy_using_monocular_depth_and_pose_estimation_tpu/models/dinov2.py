@@ -424,10 +424,13 @@ class DinoViT(nn.Module):
         # garbage-but-finite; taps slice back to n_valid below, which also
         # zeroes pad-row cotangents so weight grads are unchanged. Token
         # merging changes the token count mid-stream, so it keeps the
-        # per-layer pad path.
+        # per-layer pad path. The int8 mode also keeps it: its per-token
+        # quantize passes and int8 GEMMs pay the 2.8% extra rows without
+        # the pad/slice savings (measured bs8 87.4 -> 90.9 ms/batch,
+        # perf/padonce_ab.log).
         n_valid: int | None = None
         if (attn_ops.use_fused_qkv() and merge_after is None
-                and _pad_once_enabled()):
+                and not self.quant_int8 and _pad_once_enabled()):
             from ..ops.flash_attention import padded_len
 
             n_tok = x.shape[1]
