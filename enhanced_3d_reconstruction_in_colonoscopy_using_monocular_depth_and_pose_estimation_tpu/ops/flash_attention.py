@@ -10,8 +10,11 @@ points for v5e:
   one-(head, q-block)-per-program layout (1408 tiny programs).
 - The MXU runs bf16 x bf16 -> f32; softmax statistics are f32.
 - The log-sum-exp is saved as (BH, Np, 1) (TPU block-shape friendly) for
-  the backward, which recomputes probabilities per block (standard flash
-  backward: a dq kernel per q-block and a dk/dv kernel per k-block).
+  the backward, which recomputes probabilities per block. Default is a
+  FUSED single-kernel backward (one pass per k-block produces dk/dv and
+  accumulates dq across the key-block grid dim into a revisited output:
+  5 score-sized matmuls + 1 prob recompute); E3D_FLASH_BWD_FUSED=0
+  restores the split dq-kernel + dkv-kernel layout (7 matmuls + 2).
 - Sequence padding to a multiple of 128 happens in the wrapper; padded
   keys are masked to -inf, padded queries contribute zero gradient.
 
@@ -88,6 +91,16 @@ _HLOOP = os.environ.get("E3D_FLASH_HLOOP", "0") == "1"
 # little headroom; v5e has far more physical VMEM than the 16 MB default
 # scoped limit.
 _BWD_VMEM_MB = int(os.environ.get("E3D_FLASH_BWD_VMEM_MB", "24"))
+# Fused single-kernel backward: one pass over key blocks computes dk/dv
+# AND accumulates dq across grid steps (revisited output), recomputing
+# the probabilities once instead of once per kernel. 5 score-sized
+# matmuls + 1 exp instead of the split kernels' 7 matmuls + 2 exps.
+# Measured at the flagship shape (8x1370x16x64, 300-iter methodology):
+# fwd+bwd 4.252 -> 3.688 ms (-13%); train step 1097 -> 1077 ms
+# (perf/bwd_fused.log). Same math (f32 accumulation), so default ON.
+_BWD_FUSED = os.environ.get("E3D_FLASH_BWD_FUSED", "1") == "1"
+_BWD_FUSED_BUDGET = int(
+    os.environ.get("E3D_FLASH_BWD_FUSED_BUDGET_KB", "768")) * 1024
 # Perf-attribution knock-outs (WRONG NUMERICS — sweep diagnostics only).
 _NO_EXP = os.environ.get("E3D_FLASH_NO_EXP", "0") == "1"
 _NO_MASK = os.environ.get("E3D_FLASH_NO_MASK", "0") == "1"
@@ -431,7 +444,103 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[h] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dk_ref, dv_ref, dq_ref, *, scale: float, n_valid: int,
+                      hb: int, np_: int):
+    """One pass per (head-block, key-block): dk/dv for this key block plus
+    this key block's dq contribution, accumulated into the revisited dq
+    output across the key-block grid dimension. Recomputes the
+    probabilities once (the split dq/dkv kernels each recompute them):
+    5 score-sized matmuls + 1 exp per block vs the split layout's 7 + 2.
+    """
+    i = pl.program_id(1)
+    k0 = i * k_ref.shape[1]
+    for h in range(hb):
+        q = q_ref[h]                                        # (Nq, D)
+        k = k_ref[h]                                        # (BK, D)
+        v = v_ref[h]
+        do = do_ref[h]                                      # (Nq, D)
+        lse = lse_ref[h][:, 0][None, :]                     # (1, Nq)
+        delta = delta_ref[h][:, 0][None, :]
+        st = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * scale
+        nq = st.shape[1]
+        if n_valid < nq:  # padded queries: lse is garbage there
+            col = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+            pt = jnp.where(col < n_valid, jnp.exp(st - lse), 0.0)
+        else:
+            pt = jnp.exp(st - lse)
+        if n_valid < np_:
+            # Padded KEY rows contribute zero grad (see _bwd_dkv_kernel).
+            row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + k0
+            pt = jnp.where(row < n_valid, pt, 0.0)
+        dv = jnp.dot(pt.astype(do.dtype), do,
+                     preferred_element_type=jnp.float32)
+        dpt = jnp.dot(v, do.T, preferred_element_type=jnp.float32)
+        dst = pt * (dpt - delta)
+        dk = jnp.dot(dst.astype(q.dtype), q,
+                     preferred_element_type=jnp.float32) * scale
+        dk_ref[h] = dk.astype(dk_ref.dtype)
+        dv_ref[h] = dv.astype(dv_ref.dtype)
+        # dq contribution: ds^T @ k contracted over this key block. The
+        # masked pt zeroes padded-query columns, so padded dq rows are
+        # exactly zero (the split dq kernel leaves them garbage).
+        dqc = jax.lax.dot_general(
+            dst.astype(k.dtype), k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale     # (Nq, D)
+
+        @pl.when(i == 0)
+        def _init():
+            dq_ref[h] = dqc
+
+        @pl.when(i != 0)
+        def _accum():
+            dq_ref[h] = dq_ref[h] + dqc
+
+
+def _bwd_fused(scale: float, n_valid: int, interpret: bool, residuals, g):
+    q3, k3, v3, out, lse = residuals
+    bh, np_, d = q3.shape
+    hb = _head_block(bh, np_, d, q3.dtype.itemsize,
+                     budget=_BWD_FUSED_BUDGET)
+    do = g.astype(q3.dtype)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)                 # (BH, Np, 1)
+
+    bq = _block_q(n_valid)
+    blk = pl.BlockSpec((hb, bq, d), lambda b, i: (b, i, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((hb, np_, d), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec_full = pl.BlockSpec((hb, np_, 1), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid = (bh // hb, np_ // bq)
+    extra = {}
+    if not interpret and _BWD_VMEM_MB:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_MB * 2 ** 20)
+
+    dk, dv, dq = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, n_valid=n_valid,
+                          hb=hb, np_=np_),
+        grid=grid,
+        in_specs=[full, blk, blk, full, vec_full, vec_full],
+        # dq's index map ignores the key-block dim, so the buffer is
+        # revisited (accumulated in VMEM) across it and written back once.
+        out_specs=[blk, blk, full],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, np_, d), k3.dtype),
+            jax.ShapeDtypeStruct((bh, np_, d), v3.dtype),
+            jax.ShapeDtypeStruct((bh, np_, d), jnp.float32),
+        ],
+        interpret=interpret,
+        **extra,
+    )(q3, k3, v3, do, lse, delta)
+    return dq.astype(q3.dtype), dk, dv
+
+
 def _bwd(scale: float, n_valid: int, interpret: bool, residuals, g):
+    if _BWD_FUSED:
+        return _bwd_fused(scale, n_valid, interpret, residuals, g)
     q3, k3, v3, out, lse = residuals
     bh, np_, d = q3.shape
     hb = _head_block(bh, np_, d, q3.dtype.itemsize, budget=BWD_BUDGET)

@@ -94,7 +94,10 @@ def main() -> None:
                     + jnp.mean(gk.astype(jnp.float32))
                     + jnp.mean(gv.astype(jnp.float32)))
 
-    per = time_fn(step, q, k, v, iters=30, repeats=3, label=f"{impl}/{mode}")
+    # Methodology (perf/attn_trace_analysis.md): ms-scale microbenches need
+    # >=300 fori_loop iters or the ~25 ms tunnel sync dominates.
+    iters = int(os.environ.get("ATTN_ITERS", "300"))
+    per = time_fn(step, q, k, v, iters=iters, repeats=3, label=f"{impl}/{mode}")
     # attention matmul FLOPs (QK^T + PV; x2.5 extra for bwd's 5 matmuls)
     flops = 2 * 2 * B * H * N * N * D * (1.0 if mode == "fwd" else 3.5)
     print(json.dumps({

@@ -51,6 +51,64 @@ def test_backward_matches_xla(rng):
                                    err_msg=f"d{name}")
 
 
+def test_backward_fused_kernel_matches_xla(rng, monkeypatch):
+    """The fused single-kernel backward (E3D_FLASH_BWD_FUSED: dk/dv plus
+    dq accumulated across key-block grid steps in one pass) must produce
+    the same gradients as the split dq/dkv kernels and the XLA reference,
+    on both the padded (150 -> 160) and exact-multiple sequence lengths."""
+    from e3d_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_BWD_FUSED", True)
+    for n in (150, 128):
+        q, k, v = make_qkv(rng, b=1, n=n, h=2, d=16)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(jnp.sin(flash_attention(q, k, v, interpret=True)))
+
+        def loss_xla(q, k, v):
+            return jnp.sum(jnp.sin(mha_xla(q, k, v)))
+
+        with jax.default_matmul_precision("highest"):
+            g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+            g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_flash, g_xla, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4, err_msg=f"n{n} d{name}")
+
+
+def test_fused_qkv_path_gradients_with_fused_bwd(rng, monkeypatch):
+    """The kt-layout custom VJP routed through the fused backward kernel
+    matches the XLA reference (covers the swapaxes seams around _bwd)."""
+    from e3d_tpu.ops import attention as attn_ops
+    from e3d_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_BWD_FUSED", True)
+    b, n, c, h = 1, 130, 32, 2
+    x = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    w_qkv = jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32)) * 0.2
+    b_qkv = jnp.zeros((3 * c,), jnp.float32)
+    w_proj = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32)) * 0.2
+    b_proj = jnp.zeros((c,), jnp.float32)
+
+    def loss_fused(x, w_qkv, w_proj):
+        y = attn_ops.qkv_self_attention(x, w_qkv, b_qkv, w_proj, b_proj,
+                                        num_heads=h, interpret=True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(x, w_qkv, w_proj):
+        qkv = (x @ w_qkv + b_qkv).reshape(b, n, 3, h, c // h)
+        y = mha_xla(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        y = y.reshape(b, n, c) @ w_proj + b_proj
+        return jnp.sum(jnp.sin(y))
+
+    with jax.default_matmul_precision("highest"):
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w_qkv, w_proj)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w_qkv, w_proj)
+    for a, e, name in zip(g_fused, g_ref, ("x", "w_qkv", "w_proj")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4,
+                                   err_msg=f"d{name}")
+
+
 def test_fused_qkv_path_matches_dense_path(rng, monkeypatch):
     """The fused-layout projection path (qkv_self_attention: pad-once,
     transposes fused into the projection einsums, Pallas kernel) must match
