@@ -101,6 +101,9 @@ _BWD_VMEM_MB = int(os.environ.get("E3D_FLASH_BWD_VMEM_MB", "24"))
 _BWD_FUSED = os.environ.get("E3D_FLASH_BWD_FUSED", "1") == "1"
 _BWD_FUSED_BUDGET = int(
     os.environ.get("E3D_FLASH_BWD_FUSED_BUDGET_KB", "768")) * 1024
+# dq contribution as an explicit in-kernel transpose (dst.T @ k) instead
+# of a first-dim dot_general contraction — sweep knob.
+_BWD_FUSED_TR = os.environ.get("E3D_FLASH_BWD_FUSED_TR", "0") == "1"
 # Perf-attribution knock-outs (WRONG NUMERICS — sweep diagnostics only).
 _NO_EXP = os.environ.get("E3D_FLASH_NO_EXP", "0") == "1"
 _NO_MASK = os.environ.get("E3D_FLASH_NO_MASK", "0") == "1"
@@ -484,9 +487,13 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         # dq contribution: ds^T @ k contracted over this key block. The
         # masked pt zeroes padded-query columns, so padded dq rows are
         # exactly zero (the split dq kernel leaves them garbage).
-        dqc = jax.lax.dot_general(
-            dst.astype(k.dtype), k, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale     # (Nq, D)
+        if _BWD_FUSED_TR:
+            dqc = jnp.dot(dst.T.astype(k.dtype), k,
+                          preferred_element_type=jnp.float32) * scale
+        else:
+            dqc = jax.lax.dot_general(
+                dst.astype(k.dtype), k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (Nq, D)
 
         @pl.when(i == 0)
         def _init():
