@@ -26,6 +26,7 @@ import os
 from typing import Any
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
@@ -287,15 +288,33 @@ class DepthTask:
                 self.mesh, state.params, self.tensor_parallel, True,
                 self.fsdp_min_size) if self.fsdp else None)
 
+            # Flat grad carry (sweep knob, default OFF — measured SLOWER):
+            # ravel each microbatch's grad tree into ONE vector so the
+            # accumulation is a single add instead of one fused kernel per
+            # param leaf (the train-step trace shows ~741 convert_add
+            # kernels/step summing to 157 ms, ~13x above pure-bandwidth
+            # cost; perf/trace_train). Measured 1142 vs 1077 ms/step at
+            # bs8 x accum3: the ravel materializes an extra 1.34 GB concat
+            # per microbatch that XLA cannot fuse into the backward
+            # epilogues, costing more than the small-kernel waste it
+            # removes. Incompatible with FSDP's per-leaf carry shardings.
+            flat_mode = (os.environ.get("E3D_ACCUM_FLAT", "0") == "1"
+                         and not self.fsdp)
+
             def micro(carry, xs):
                 grads_acc, loss_acc, met_acc = carry
                 image, depth, maxd, wi = xs
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_and_metrics, has_aux=True)(
                         state.params, image, depth, maxd, train=True)
-                grads_acc = jax.tree.map(
-                    lambda a, g: (a + g * wi).astype(a.dtype),
-                    grads_acc, grads)
+                if flat_mode:
+                    gflat = jax.flatten_util.ravel_pytree(grads)[0]
+                    grads_acc = grads_acc + (gflat
+                                             * wi).astype(grads_acc.dtype)
+                else:
+                    grads_acc = jax.tree.map(
+                        lambda a, g: (a + g * wi).astype(a.dtype),
+                        grads_acc, grads)
                 if self.fsdp:
                     # ZeRO-2: pin the accumulated grads to the params'
                     # composed (TP + FSDP) layout so GSPMD reduce-scatters
@@ -318,6 +337,10 @@ class DepthTask:
                          else jnp.float32)
             zero_grads = jax.tree.map(
                 lambda p: jnp.zeros(p.shape, acc_dtype), state.params)
+            unravel = None
+            if flat_mode:
+                flat0, unravel = jax.flatten_util.ravel_pytree(zero_grads)
+                zero_grads = flat0
             zero_mets = {k: jnp.zeros((), jnp.float32)
                          for k in ("d1", "abs_rel", "rmse", "l1")}
             maxd = batch.get(
@@ -353,7 +376,10 @@ class DepthTask:
                     unroll=min(unroll, accum) if unroll > 1 else 1)
 
             inv_a = 1.0 / jnp.maximum(jnp.sum(weight), 1e-6)
-            grads = jax.tree.map(lambda g: g * inv_a, grads)
+            if flat_mode:
+                grads = unravel(grads * inv_a)
+            else:
+                grads = jax.tree.map(lambda g: g * inv_a, grads)
             updates, opt_state = self._optimizer.update(
                 grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
