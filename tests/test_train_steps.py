@@ -354,3 +354,29 @@ def test_depth_train_step_barrier_accum_matches(rng, monkeypatch):
                     jax.tree_util.tree_leaves(state_bar.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_depth_train_step_flat_accum_matches(rng, monkeypatch):
+    """E3D_ACCUM_FLAT=1 (grad accumulation over ONE raveled vector instead
+    of the per-leaf tree carry — a measured-slower sweep knob kept for
+    layout experiments, perf/trace_train) must match the tree carry
+    exactly: same sum, different memory layout."""
+    def run(flat):
+        monkeypatch.setenv("E3D_ACCUM_FLAT", flat)
+        mesh = build_mesh(MeshSpec(data=8, model=1))
+        task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                         grad_accum=2, device_mesh=mesh,
+                         policy=e3d_tpu.core.POLICY_F32,
+                         grad_checkpoint=False)
+        state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+        batch = make_depth_batch(np.random.default_rng(7))
+        state, metrics = task.train_step(state, batch)
+        return float(metrics["loss"]), state
+
+    loss_tree, state_tree = run("0")
+    loss_flat, state_flat = run("1")
+    assert np.isclose(loss_tree, loss_flat, rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(state_tree.params),
+                    jax.tree_util.tree_leaves(state_flat.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=2e-6)
