@@ -17,7 +17,7 @@ H2D/D2H round trip per frame). This engine is the TPU-native counterpart:
   dispatch — JAX dispatch returns before the TPU finishes, so decode of
   batch N+1 overlaps execution of batch N).
 
-Throughput on 1x v5e (vitl, 518 px, batch 8): ~65 frames/s vs ~8 frames/s
+Throughput on 1x v5e (vitl, 518 px, batch 8): ~78 frames/s vs ~8 frames/s
 for the per-frame loop (one compile + transfer per frame).
 """
 

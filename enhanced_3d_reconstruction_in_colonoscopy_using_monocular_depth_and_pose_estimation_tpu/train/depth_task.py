@@ -308,9 +308,12 @@ class DepthTask:
                     self._loss_and_metrics, has_aux=True)(
                         state.params, image, depth, maxd, train=True)
                 if flat_mode:
+                    # Add in the grad dtype THEN cast, matching the tree
+                    # carry's rounding so E3D_ACCUM_FLAT composes with
+                    # E3D_ACCUM_DTYPE=bf16 bit-exactly (advisor r3).
                     gflat = jax.flatten_util.ravel_pytree(grads)[0]
-                    grads_acc = grads_acc + (gflat
-                                             * wi).astype(grads_acc.dtype)
+                    grads_acc = (grads_acc + gflat
+                                 * wi).astype(grads_acc.dtype)
                 else:
                     grads_acc = jax.tree.map(
                         lambda a, g: (a + g * wi).astype(a.dtype),

@@ -58,19 +58,25 @@ def _restore_stopper(stopper: EarlyStopping, ckpt: CheckpointManager) -> None:
         stopper.bad_count = int(m["es_bad_count"])
 
 
-def _preempt_agreed(guard: PreemptionGuard) -> bool:
+def _preempt_agreed(guard: PreemptionGuard, host_sync: bool = True) -> bool:
     """Cross-process agreement on the preemption flag.
 
-    Single-process: just the local flag. Multi-process: the checkpoint
-    save below is COLLECTIVE (all hosts coordinate through the shared
-    Orbax dir), and a maintenance SIGTERM can land on workers a step
-    apart — if only the signalled subset entered the save, the cluster
-    would deadlock until the kill grace period. So every process calls
-    this at every step boundary (itself a collective): stop iff ANY
-    process saw the signal. Costs one scalar allgather per optimizer
-    step on multi-host only (ms-scale vs >1 s steps)."""
+    Single-process: just the local flag, every step. Multi-process: the
+    checkpoint save below is COLLECTIVE (all hosts coordinate through the
+    shared Orbax dir), and a maintenance SIGTERM can land on workers a
+    step apart — if only the signalled subset entered the save, the
+    cluster would deadlock until the kill grace period. So processes
+    agree via a scalar allgather: stop iff ANY process saw the signal.
+    The allgather is itself a host-blocking collective, so it piggybacks
+    on the loop's existing host-sync boundaries (``host_sync`` is the
+    deterministic log/val-boundary predicate, identical on every
+    process): between boundaries steps stay fully pipelined, and a
+    locally-set flag just waits for the next boundary — SIGTERM grace
+    periods are minutes, steps are seconds (advisor r3)."""
     if jax.process_count() == 1:
         return guard.requested
+    if not host_sync:
+        return False
     from jax.experimental import multihost_utils
 
     flags = multihost_utils.process_allgather(
@@ -220,8 +226,10 @@ def fit_depth(
                     state, metrics = task.train_step(state, batch)
                     bank = bank_update(bank, metrics)  # device-side, no sync
                     step = host_step = host_step + 1
-                    if (step % log_every == 0 or step % val_every == 0
-                            or (max_steps and step >= max_steps)):
+                    boundary = bool(step % log_every == 0
+                                    or step % val_every == 0
+                                    or (max_steps and step >= max_steps))
+                    if boundary:
                         # Host sync only at logging/validation boundaries —
                         # otherwise steps stay fully pipelined on device.
                         lr_idx = min(step - 1, len(lr_table["encoder"]) - 1)
@@ -254,7 +262,7 @@ def fit_depth(
                               f"(best {stopper.best:.5f})")
                         stop = True
                         break
-                if _preempt_agreed(guard):
+                if _preempt_agreed(guard, host_sync=boundary):
                     _handle_preemption(ckpt, step, state, stopper)
                     stop = True
                     break
@@ -403,7 +411,9 @@ def fit_pose(
                 state, metrics = task.train_step(state, jbatch)
                 bank = bank_update(bank, metrics)
                 step = host_step = host_step + 1
-                if step % log_every == 0 or (max_steps and step >= max_steps):
+                boundary = bool(step % log_every == 0
+                                or (max_steps and step >= max_steps))
+                if boundary:
                     # Host sync only at logging boundaries (pipelined between).
                     logger.log({"train_loss": metrics["loss"],
                                 **{f"Train/train_{k}": metrics[k]
@@ -411,7 +421,7 @@ def fit_pose(
                                 "lr": float(lr_table[min(step - 1,
                                                          len(lr_table) - 1)]),
                                 "epoch": epoch}, step=step)
-                if _preempt_agreed(guard):
+                if _preempt_agreed(guard, host_sync=boundary):
                     _handle_preemption(ckpt, step, state, stopper)
                     stop = True
                     break
