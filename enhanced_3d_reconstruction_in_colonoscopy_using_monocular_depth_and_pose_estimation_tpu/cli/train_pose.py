@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None) -> None:
         clip_norm=float(cfg.trainer.gradient_clip_val),
         device_mesh=mesh,
         policy=policy_from_precision(str(cfg.trainer.precision)),
+        cycle_momentum=bool(cfg.model.get("cycle_momentum", False)),
     )
 
     logger = MetricLogger(run_dir, project="pose-estimation",

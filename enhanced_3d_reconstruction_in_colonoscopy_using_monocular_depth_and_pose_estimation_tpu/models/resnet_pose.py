@@ -62,10 +62,12 @@ class BasicBlock(nn.Module):
 class PoseEstimationNet(nn.Module):
     in_channels: int = 8
     dtype: Any = jnp.float32  # pose training is 32-true in the reference
+    dropout: bool = True  # False: deterministic head (train-parity tests)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         """x: (B, H, W, in_channels) NHWC. Returns (B, 7) f32 poses."""
+        drop = train and self.dropout
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
@@ -88,15 +90,15 @@ class PoseEstimationNet(nn.Module):
 
         # pose head (dropout active only in training)
         x = nn.relu(x)
-        x = nn.Dropout(0.3, deterministic=not train)(x)
+        x = nn.Dropout(0.3, deterministic=not drop)(x)
         x = nn.Dense(128, dtype=self.dtype, param_dtype=jnp.float32,
                      name="head_fc1")(x)
         x = nn.relu(x)
-        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = nn.Dropout(0.2, deterministic=not drop)(x)
         x = nn.Dense(64, dtype=self.dtype, param_dtype=jnp.float32,
                      name="head_fc2")(x)
         x = nn.relu(x)
-        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = nn.Dropout(0.1, deterministic=not drop)(x)
         x = nn.Dense(7, dtype=self.dtype, param_dtype=jnp.float32,
                      name="head_fc3")(x)
         return x.astype(jnp.float32)

@@ -43,6 +43,36 @@ def onecycle_schedule(max_lr: float, total_steps: int, pct_start: float,
     return schedule
 
 
+def onecycle_momentum_schedule(total_steps: int, pct_start: float,
+                               base_momentum: float = 0.85,
+                               max_momentum: float = 0.95) -> optax.Schedule:
+    """``cycle_momentum=True`` companion of :func:`onecycle_schedule`.
+
+    torch's OneCycleLR cycles the optimizer momentum INVERSELY to the LR
+    (``max_momentum`` at the ends, ``base_momentum`` at peak LR); for Adam
+    optimizers it overwrites ``betas[0]`` each step. The reference's pose
+    recipe enables this (``configs/pose_estimation/pose_estimation.yaml:17``
+    ``cycle_momentum: True`` -> ``pose_estimation_model.py:420``); the depth
+    recipe keeps it off."""
+    up_end = float(pct_start * total_steps) - 1.0
+    down_end = float(total_steps) - 1.0
+
+    def _anneal_cos(start: float, end: float, pct: jax.Array) -> jax.Array:
+        return end + (start - end) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    def schedule(step: jax.Array) -> jax.Array:
+        s = jnp.minimum(jnp.asarray(step, jnp.float32), down_end)
+        pct_up = s / jnp.maximum(up_end, 1e-12)
+        pct_down = (s - up_end) / jnp.maximum(down_end - up_end, 1e-12)
+        m_up = _anneal_cos(max_momentum, base_momentum,
+                           jnp.clip(pct_up, 0.0, 1.0))
+        m_down = _anneal_cos(base_momentum, max_momentum,
+                             jnp.clip(pct_down, 0.0, 1.0))
+        return jnp.where(s <= up_end, m_up, m_down)
+
+    return schedule
+
+
 def _encoder_label_tree(params: Any) -> Any:
     """'encoder' for params under the ViT trunk ('pretrained', matching the
     torch name split), 'decoder' for everything else."""
@@ -81,13 +111,27 @@ def make_depth_optimizer(params: Any, encoder_lr: float, decoder_lr: float,
 
 def make_pose_optimizer(lr: float, total_steps: int, pct_start: float,
                         div_factor: float, weight_decay: float = 0.01,
-                        clip_norm: float = 1.0
+                        clip_norm: float = 1.0, cycle_momentum: bool = False
                         ) -> optax.GradientTransformation:
     """AdamW + OneCycle for the pose net
-    (``pose_estimation_model.py:400-440``)."""
+    (``pose_estimation_model.py:400-440``).
+
+    ``cycle_momentum=True`` additionally schedules Adam's b1 the way torch
+    OneCycleLR does (0.95 -> 0.85 -> 0.95, inverse to the LR) — the
+    reference pose recipe trains with this on. Implemented with
+    ``optax.inject_hyperparams`` so b1 is evaluated per step; bias
+    correction uses the current b1, matching torch (which reads the
+    mutated ``betas[0]`` inside ``adamw`` each step)."""
     sched = onecycle_schedule(lr, total_steps, pct_start, div_factor)
+    if cycle_momentum:
+        m_sched = onecycle_momentum_schedule(total_steps, pct_start)
+        adamw = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=sched, b1=m_sched, b2=0.999, eps=1e-8,
+            weight_decay=weight_decay)
+    else:
+        adamw = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                            weight_decay=weight_decay)
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
-                    weight_decay=weight_decay),
+        adamw,
     )

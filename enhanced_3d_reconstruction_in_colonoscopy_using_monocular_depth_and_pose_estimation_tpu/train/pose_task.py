@@ -51,13 +51,19 @@ class PoseTask:
         clip_norm: float = 1.0,
         device_mesh=None,
         policy: DtypePolicy = POLICY_F32,
+        cycle_momentum: bool = False,
+        dropout: bool = True,
     ):
         # Reference parity is '32-true' (pose_estimation.yaml) -> f32
         # compute. trainer.precision=bf16-mixed opts into bf16 conv/GEMM
         # compute with f32 params/BN stats/loss — the same master-weight
         # policy the depth task uses (core/dtypes.py).
+        # ``dropout=False`` disables the head dropout (train-math parity
+        # tests need determinism on both frameworks); default matches the
+        # reference.
         self.model = PoseEstimationNet(in_channels=in_channels,
-                                       dtype=policy.compute_dtype)
+                                       dtype=policy.compute_dtype,
+                                       dropout=dropout)
         self.beta = float(beta)
         self.mesh = device_mesh or meshlib.build_mesh()
         self._sched_args = dict(total_steps=total_steps,
@@ -65,7 +71,8 @@ class PoseTask:
         self._lr = lr
         self.optimizer = make_pose_optimizer(
             lr, total_steps, pct_start, div_factor,
-            weight_decay=weight_decay, clip_norm=clip_norm)
+            weight_decay=weight_decay, clip_norm=clip_norm,
+            cycle_momentum=cycle_momentum)
         # keyed by "batch divisible by data axis" (sharded vs replicated)
         self._train_step: dict[bool, Any] = {}
         self._eval_step = None
