@@ -31,3 +31,29 @@ def rng():
 def _assert_cpu_mesh():
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert len(jax.devices()) == 8, jax.devices()
+
+
+# Inner-loop tier: `pytest -m quick` (<5 min) — fast, high-signal modules
+# covering the math/config/IO core. The full suite (~35 min, serialized)
+# stays the merge gate. Central allowlist so the tier is visible in one
+# place rather than scattered pytestmarks.
+_QUICK_MODULES = {
+    "test_config",
+    "test_quaternion",
+    "test_losses_metrics",
+    "test_resize",
+    "test_pos_embed",
+    "test_augment",
+    "test_debug_utils",
+    "test_logging_io",
+    "test_tools",
+    "test_native_png",
+    "test_eval_edge_cases",
+    "test_token_merge",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
