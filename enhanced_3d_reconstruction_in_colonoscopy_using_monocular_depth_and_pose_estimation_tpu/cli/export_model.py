@@ -29,10 +29,10 @@ def main(argv=None) -> None:
                    choices=["vits", "vitb", "vitl", "vitg", "vitt"])
     p.add_argument("--load-from", default=None)
     p.add_argument("--max-depth", type=float, default=20.0)
-    p.add_argument("--frame-hw", type=int, nargs=2, required=True,
-                   metavar=("H", "W"),
-                   help="camera resolution the program is fixed to "
-                        "(SimCol: 475 1000)")
+    p.add_argument("--frame-hw", type=int, nargs=2, metavar=("H", "W"),
+                   help="camera resolution the inference program is "
+                        "fixed to (SimCol: 475 1000); required unless "
+                        "--train")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--input-size", type=int, default=518)
     p.add_argument("-o", "--output", required=True)
@@ -41,7 +41,24 @@ def main(argv=None) -> None:
     p.add_argument("--check", action="store_true",
                    help="replay the artifact on random frames and report "
                         "the max deviation vs the live model")
+    p.add_argument("--train", action="store_true",
+                   help="export the TRAIN step instead of inference "
+                        "(a restarted fine-tune skips the compile)")
+    p.add_argument("--grad-accum", type=int, default=3,
+                   help="train export: grad-accum window (bench layout "
+                        "is bs8 x accum3)")
+    p.add_argument("--microbatch", type=int, default=8,
+                   help="train export: per-microbatch batch size")
+    p.add_argument("--total-steps", type=int, default=1000,
+                   help="train export: OneCycle horizon baked into the "
+                        "schedule (must match the resumed run)")
     args = p.parse_args(argv)
+
+    if args.train:
+        _export_train(args)
+        return
+    if args.frame_hw is None:
+        p.error("--frame-hw is required for inference export")
 
     model, params = load_or_init_depth_params(args.encoder, args.max_depth,
                                               args.load_from,
@@ -73,6 +90,30 @@ def main(argv=None) -> None:
         if not np.isfinite(got).all() or dev > 1e-3 * max(
                 float(np.abs(ref).max()), 1.0):
             raise SystemExit("[export] replay check FAILED")
+
+
+def _export_train(args) -> None:
+    """Export the depth TRAIN step (state, batch) -> (state, metrics)."""
+    import jax
+
+    from ..serving.export import export_train_step
+    from ..train.depth_task import DepthTask
+
+    if args.int8 or args.token_merge:
+        raise SystemExit("[export] --train does not compose with the "
+                         "inference speed dials (--int8/--token-merge)")
+    task = DepthTask(encoder=args.encoder, max_depth=args.max_depth,
+                     total_steps=args.total_steps,
+                     grad_accum=args.grad_accum)
+    hw = (args.input_size, args.input_size)
+    state = task.init_state(jax.random.PRNGKey(0), hw,
+                            fill_value=0.01)
+    meta = export_train_step(task, state, args.output,
+                             microbatch=args.microbatch, image_hw=hw)
+    print(f"[export] {args.output}: {meta['artifact_bytes']} bytes, "
+          f"platforms={meta['platforms']}, train step "
+          f"accum{meta['grad_accum']} x bs{meta['microbatch']} @ "
+          f"{meta['image_hw']}")
 
 
 if __name__ == "__main__":

@@ -62,6 +62,55 @@ def test_export_metadata_sidecar(exported):
     assert on_disk["platforms"]  # backend recorded for deploy targeting
 
 
+def test_export_train_step_replay(tmp_path):
+    """The exported TRAIN step replays bit-identically to the live jitted
+    step: same next-state params/opt-state and same metrics after one
+    full grad-accum window (VERDICT r3 #7 — a restarted fine-tune skips
+    the trace+compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from e3d_tpu.core.dtypes import POLICY_F32
+    from e3d_tpu.serving.export import (export_train_step,
+                                        load_exported_train_step)
+    from e3d_tpu.train.depth_task import DepthTask
+
+    task = DepthTask(encoder="vitt", max_depth=20.0, total_steps=8,
+                     grad_accum=2, grad_checkpoint=False,
+                     policy=POLICY_F32)
+    hw = (56, 56)
+    state = task.init_state(jax.random.PRNGKey(0), hw)
+    path = str(tmp_path / "train.stablehlo")
+    meta = export_train_step(task, state, path, microbatch=2, image_hw=hw)
+    assert meta["artifact_bytes"] > 0 and meta["grad_accum"] == 2
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 2, *hw, 3))
+                             .astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(0.5, 19.0, size=(2, 2, *hw, 1))
+                             .astype(np.float32)),
+    }
+    prog = load_exported_train_step(path)
+    new_state, metrics = prog(state, batch)
+    live_state, live_metrics = task.train_step(state, batch)
+    for k in live_metrics:
+        np.testing.assert_allclose(np.asarray(metrics[k]),
+                                   np.asarray(live_metrics[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    flat_got = jax.tree_util.tree_leaves(new_state.params)
+    flat_want = jax.tree_util.tree_leaves(live_state.params)
+    for g, w in zip(flat_got, flat_want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-7)
+    assert int(new_state.step) == int(live_state.step) == 1
+
+    # shape guard
+    with pytest.raises(ValueError, match="fixed-shape"):
+        prog(state, {"image": np.zeros((2, 2, 48, 48, 3), np.float32),
+                     "depth": np.zeros((2, 2, 48, 48, 1), np.float32)})
+
+
 def test_export_cli_roundtrip(tmp_path, capsys):
     """CLI export + --check replay on a random-init vitt."""
     from e3d_tpu.cli import export_model
