@@ -56,6 +56,40 @@ def test_full_pipeline(tmp_path_factory, tmp_path, monkeypatch, capsys):
     assert np.isfinite(results["overall_metrics"]["abs_rel"]["mean"])
     assert results["procedure_metrics"], "no per-procedure metrics"
 
+    # ---- 2b. speed-dial task-metric deltas (VERDICT r3 #3) -------------
+    # Same checkpoint, same split, dialed models: the int8 / token-merge
+    # output deviations (1.9% / 1.2-2.6% vs bf16 outputs, CLAUDE.md) get
+    # error bars in the metrics the reference is judged on
+    # (eval/evaluation.py:16-60 — d1/abs_rel/rmse).
+    base = results["overall_metrics"]
+    dial_deltas = {}
+    for name, extra in [
+        ("int8", ["++model.quant_int8=true"]),
+        ("token_merge", ["++model.token_merge=0.3"]),
+        ("int8+token_merge", ["++model.quant_int8=true",
+                              "++model.token_merge=0.3"]),
+    ]:
+        test_depth.main(ds_args + extra)
+        m = json.loads(
+            (tmp_path / "test_lightning_results" / "simcol_results.json")
+            .read_text())["overall_metrics"]
+        dial_deltas[name] = {
+            k: m[k]["mean"] - base[k]["mean"]
+            for k in ("d1", "abs_rel", "rmse", "l1")}
+        # A dial must shift the task metrics by at most a few percent of
+        # the baseline value — the promise the serve-path default rests on.
+        for k in ("abs_rel", "rmse", "l1"):
+            tol = 0.15 * max(abs(base[k]["mean"]), 1e-6)
+            assert abs(dial_deltas[name][k]) < tol, (
+                name, k, dial_deltas[name][k], base[k]["mean"])
+        assert abs(dial_deltas[name]["d1"]) < 0.15
+    print("dial task-metric deltas vs undialed (fixture e2e): "
+          + json.dumps(dial_deltas))
+    # restore the undialed results file for the downstream steps
+    results_file = (tmp_path / "test_lightning_results"
+                    / "simcol_results.json")
+    results_file.write_text(json.dumps(results))
+
     # ---- 3. infer over the dataset tree (_OP convention) ---------------
     infer.main(["--encoder", "vitt", "--load-from", ckpt,
                 "-i", root, "-d", "simcol", "--input-size", "56",
