@@ -179,3 +179,34 @@ def test_pipeline_compiles_to_collective_permute(rng):
                         policy=POLICY_F32, grad_checkpoint=False)
     text_dp = _compiled_train_text(task_dp, batch)
     assert _count(text_dp, "collective-permute") == 0
+
+
+def test_pp_head_shards_over_full_mesh(rng):
+    """The DPT head after the pipeline is NOT replicated compute: with a
+    batch that divides the full mesh, build_pp_depth_forward constrains
+    the head's batch to (data, model), so the compiled forward must gather
+    the depth output back over the pipeline axis (>=1 all-gather). The
+    indivisible-batch fallback keeps the replicated head: no all-gather."""
+    from e3d_tpu.models.depth_anything import build_depth_model
+    from e3d_tpu.parallel.pipeline import build_pp_depth_forward
+
+    mesh = build_mesh(MeshSpec(data=4, model=2))
+    model = build_depth_model("vitt", 20.0, dtype=jnp.float32,
+                              grad_checkpoint=False)
+    img = jnp.asarray(rng.normal(size=(8, 56, 56, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), img[:1])["params"]
+    fwd = build_pp_depth_forward(model, mesh, stages=2, n_micro=2)
+
+    text = jax.jit(fwd).lower(params, img).compile().as_text()
+    assert _count(text, "all-gather") >= 1, \
+        "PP forward compiled without the head-output all-gather — the " \
+        "DPT head is running replicated over the pipeline axis again"
+
+    # 12 rows: divides data(4) x micro(2)=8? no -> but the pipeline needs
+    # that too; use 8 rows on a mesh whose FULL size (16) doesn't divide.
+    mesh_wide = build_mesh(MeshSpec(data=2, model=4))
+    fwd_wide = build_pp_depth_forward(model, mesh_wide, stages=4, n_micro=2)
+    img4 = img[:4]  # 4 rows: divides data*micro=4, not data*model=8
+    text_fb = jax.jit(fwd_wide).lower(params, img4).compile().as_text()
+    assert _count(text_fb, "all-gather") == 0, \
+        "replicated-head fallback unexpectedly emitted an all-gather"
