@@ -151,3 +151,52 @@ def test_infer_cli_int8_flag(tmp_path, monkeypatch, rng):
     d = np.load(tmp_path / "out" / "x.npy")
     assert d.shape == (64, 64) and np.isfinite(d).all()
     assert (d >= 0).all() and (d <= 20.0).all()
+
+
+def test_static_calibration_roundtrip(rng):
+    """One-shot static calibration (VERDICT r3 #3): calibrate activation
+    scales on K batches, freeze them, and run the static forward — the
+    tape is deterministic, the frozen forward is finite with bounded
+    deviation from the float forward (per-tensor scales are coarser than
+    dynamic per-row, so the bound is looser than the dynamic test's)."""
+    from e3d_tpu.models import build_depth_model
+    from e3d_tpu.ops.quant import calibrate_scales, with_frozen_scales
+
+    m0 = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32)
+    mq = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32,
+                           quant_int8=True)
+    image = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    params = m0.init(jax.random.PRNGKey(0), image)["params"]
+    batches = [jnp.asarray(rng.normal(size=(2, 56, 56, 3))
+                           .astype(np.float32)) for _ in range(3)]
+
+    fwd = lambda x: mq.apply({"params": params}, x)  # noqa: E731
+    amax = calibrate_scales(fwd, batches)
+    assert amax.ndim == 1 and amax.shape[0] > 0 and (amax > 0).all()
+    amax2 = calibrate_scales(fwd, batches)
+    np.testing.assert_array_equal(np.asarray(amax), np.asarray(amax2))
+
+    static_fwd = jax.jit(with_frozen_scales(fwd, amax))
+    d_static = np.asarray(static_fwd(image))
+    d_float = np.asarray(m0.apply({"params": params}, image))
+    assert np.isfinite(d_static).all()
+    rel = np.abs(d_static - d_float).mean() / max(np.abs(d_float).mean(),
+                                                  1e-6)
+    assert 0.0 < rel < 0.2, rel
+
+
+def test_frozen_scales_site_mismatch_raises(rng):
+    """A frozen-scale vector from a different site count fails loudly at
+    trace time instead of misassigning scales to sites."""
+    import pytest
+
+    from e3d_tpu.models import build_depth_model
+    from e3d_tpu.ops.quant import with_frozen_scales
+
+    mq = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32,
+                           quant_int8=True)
+    image = jnp.asarray(rng.normal(size=(1, 56, 56, 3)).astype(np.float32))
+    params = mq.init(jax.random.PRNGKey(0), image)["params"]
+    fwd = lambda x: mq.apply({"params": params}, x)  # noqa: E731
+    with pytest.raises(ValueError, match="quant sites"):
+        jax.jit(with_frozen_scales(fwd, np.ones(2, np.float32)))(image)
