@@ -41,6 +41,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--int8", action="store_true",
                    help="dynamic-int8 encoder matmuls (opt-in speed mode "
                         "riding the MXU 2x int8 rate, see README)")
+    p.add_argument("--int8-calib", type=int, default=0, metavar="K",
+                   help="with --int8 and --batch-size>1: freeze static "
+                        "activation scales from the first K device "
+                        "batches instead of quantizing dynamically")
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 batches same-resolution frames on device "
                         "(TPU-native extension; 1 = reference per-frame)")
@@ -114,6 +118,8 @@ def main(argv=None) -> None:
     from ..models.depth_anything import infer_image
 
     args = parse_args(argv)
+    if args.int8_calib and (not args.int8 or args.batch_size < 2):
+        raise SystemExit("--int8-calib requires --int8 and --batch-size>1")
     model, params = load_or_init_depth_params(args.encoder, args.max_depth,
                                               args.load_from,
                                               token_merge=args.token_merge,
@@ -161,7 +167,8 @@ def main(argv=None) -> None:
                 return
             depths = infer_images_batched(
                 model, params, [raw for _, raw in group],
-                args.input_size, args.batch_size)
+                args.input_size, args.batch_size,
+                calib_batches=args.int8_calib)
             for (item, raw), depth in zip(group, depths):
                 write_outputs(*item, raw, depth)
 

@@ -203,7 +203,8 @@ def infer_images_batched(model: DepthAnythingV2, params,
                          bgr_frames: list[np.ndarray],
                          input_size: int = 518,
                          batch_size: int = 8,
-                         data_parallel: bool | None = None
+                         data_parallel: bool | None = None,
+                         calib_batches: int = 0
                          ) -> list[np.ndarray]:
     """Batched inference over same-resolution BGR frames.
 
@@ -214,6 +215,13 @@ def infer_images_batched(model: DepthAnythingV2, params,
     devices (and ``batch_size`` divisible by the device count), the batch
     is sharded over the ``data`` mesh axis (``data_parallel=None`` =
     auto).
+
+    ``calib_batches > 0`` (requires ``model.quant_int8``): one-shot
+    static int8 calibration — activation scales frozen from the first K
+    device batches (``ops/quant.py calibrate_scales``), then everything
+    runs through a dedicated frozen-scale program (its own jit: the
+    frozen scales are closure constants, not part of the shared
+    ``_run_batched`` cache key). Single-chip path only.
     """
     if not bgr_frames:
         return []
@@ -231,7 +239,24 @@ def infer_images_batched(model: DepthAnythingV2, params,
     # batch spreads over n_dev chips, otherwise it sits on one.
     model_static = _ModelThunk(
         model.clone(data_shards=n_dev if use_dp else 1))
-    if use_dp:
+    if calib_batches > 0:
+        if not model.quant_int8:
+            raise ValueError("calib_batches requires quant_int8=True")
+        if use_dp:
+            raise ValueError("static int8 calibration does not compose "
+                             "with multi-device inference yet — pass "
+                             "data_parallel=False or drop calib_batches")
+        from ..ops.quant import calibrate_scales, with_frozen_scales
+
+        def fwd(p, x):
+            return _run_batched.__wrapped__(p, x, net_hw, (h, w),
+                                            model_static)
+
+        calib = [jnp.asarray(arr) for arr, _ in chunk_rgb01(
+            bgr_frames[:calib_batches * batch_size], batch_size)]
+        amax = calibrate_scales(lambda x: fwd(params, x), calib)
+        run = jax.jit(with_frozen_scales(fwd, amax))
+    elif use_dp:
         run_j, rep = _dp_runner(net_hw, (h, w), model_static, n_dev)
         params = jax.device_put(params, rep)
         run = lambda p, x: run_j(p, x)                        # noqa: E731

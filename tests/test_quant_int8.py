@@ -200,3 +200,35 @@ def test_frozen_scales_site_mismatch_raises(rng):
     fwd = lambda x: mq.apply({"params": params}, x)  # noqa: E731
     with pytest.raises(ValueError, match="quant sites"):
         jax.jit(with_frozen_scales(fwd, np.ones(2, np.float32)))(image)
+
+
+def test_infer_cli_int8_static_calib(tmp_path, monkeypatch, rng):
+    """--int8 --int8-calib K end-to-end: calibrates on the first K device
+    batches, then serves everything through the frozen-scale program."""
+    import cv2
+
+    from e3d_tpu.cli import infer
+
+    paths = []
+    for i in range(5):
+        img = (rng.uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+        path = str(tmp_path / f"f{i}.png")
+        cv2.imwrite(path, img)
+        paths.append(path)
+    filelist = tmp_path / "files.txt"
+    filelist.write_text("\n".join(paths) + "\n")
+    monkeypatch.chdir(tmp_path)
+    infer.main(["--encoder", "vitt", "-i", str(filelist),
+                "-o", str(tmp_path / "out"), "--input-size", "56",
+                "--save-numpy", "--int8", "--batch-size", "2",
+                "--int8-calib", "1"])
+    for i in range(5):
+        d = np.load(tmp_path / "out" / f"f{i}.npy")
+        assert d.shape == (64, 64) and np.isfinite(d).all()
+        assert (d >= 0).all() and (d <= 20.0).all()
+
+    import pytest
+    with pytest.raises(SystemExit, match="int8-calib"):
+        infer.main(["--encoder", "vitt", "-i", str(filelist),
+                    "-o", str(tmp_path / "o2"), "--input-size", "56",
+                    "--int8-calib", "1"])
