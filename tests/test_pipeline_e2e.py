@@ -105,6 +105,31 @@ def test_full_pipeline(tmp_path_factory, tmp_path, monkeypatch, capsys):
     assert npy.shape == (64, 64)
     assert np.isfinite(npy).all() and npy.min() >= 0 and npy.max() <= 20.0
 
+    # ---- 3b. static-calibrated int8 vs the undialed predictions --------
+    # The frozen-scale path (infer --int8 --int8-calib, ops/quant.py
+    # calibrate_scales) gets the same e2e error bar as the other dials:
+    # bounded output deviation on the trained checkpoint's real frames.
+    frames_s1 = sorted(glob.glob(os.path.join(
+        root, "SyntheticColon_I", "Frames_S1", "FrameBuffer_*.png")))
+    flist = tmp_path / "calib_files.txt"
+    flist.write_text("\n".join(frames_s1) + "\n")
+    static_out = tmp_path / "static_int8"
+    infer.main(["--encoder", "vitt", "--load-from", ckpt,
+                "-i", str(flist), "-o", str(static_out),
+                "--input-size", "56", "--pred-only", "--save-numpy",
+                "--batch-size", "4", "--int8", "--int8-calib", "1"])
+    base_dir = os.path.join(root, "SyntheticColon_I", "Frames_S1_OP")
+    devs = []
+    for f in frames_s1:
+        stem = os.path.splitext(os.path.basename(f))[0]
+        d_s = np.load(static_out / f"{stem}.npy")
+        d_b = np.load(os.path.join(base_dir, f"{stem}.npy"))
+        devs.append(np.abs(d_s - d_b).mean() / max(np.abs(d_b).mean(),
+                                                   1e-6))
+    assert len(devs) == 4 and max(devs) < 0.15, devs
+    print(f"static-int8 output deviation vs undialed (e2e ckpt): "
+          f"mean {np.mean(devs):.4f} max {max(devs):.4f}")
+
     # ---- 4. pointcloud + Poisson mesh from the predictions -------------
     recon_dir = tmp_path / "recon"
     pointcloud.main(["-i", root, "-o", str(recon_dir),
