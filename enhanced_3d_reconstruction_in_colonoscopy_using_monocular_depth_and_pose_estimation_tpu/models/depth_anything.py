@@ -254,7 +254,9 @@ def infer_images_batched(model: DepthAnythingV2, params,
 
         calib = [jnp.asarray(arr) for arr, _ in chunk_rgb01(
             bgr_frames[:calib_batches * batch_size], batch_size)]
-        amax = calibrate_scales(lambda x: fwd(params, x), calib)
+        # params go through as a jit ARG (closure capture would bake
+        # them as constants — see calibrate_scales docstring).
+        amax = calibrate_scales(lambda x, p: fwd(p, x), calib, params)
         run = jax.jit(with_frozen_scales(fwd, amax))
     elif use_dp:
         run_j, rep = _dp_runner(net_hw, (h, w), model_static, n_dev)

@@ -102,14 +102,19 @@ def quantize_axes(x: Array, axes: tuple[int, ...]) -> tuple[Array, Array]:
     return q, scale
 
 
-def calibrate_scales(apply_fn, batches) -> jax.Array:
+def calibrate_scales(apply_fn, batches, *args) -> jax.Array:
     """One-shot static calibration: per-site activation abs-max, maxed
-    over ``batches``. ``apply_fn(batch)`` must be the UNJITTED quantized
-    forward; each batch must share the trace regime (shape/dtype)."""
-    def tapped(b):
+    over ``batches``. ``apply_fn(batch, *args)`` must be the UNJITTED
+    quantized forward; each batch must share the trace regime.
+
+    Pass the PARAMS through ``*args``, never as a closure capture: a
+    closed-over param tree becomes jit constants and XLA constant-folds
+    the per-channel weight quantization of every layer — measured as a
+    20+ minute compile hang at vitl scale on the v5e."""
+    def tapped(b, *a):
         tape: list = []
         with calibration(tape):
-            apply_fn(b)
+            apply_fn(b, *a)
         if not tape:
             raise ValueError("calibrate_scales: forward hit no int8 "
                              "activation quant sites — is quant enabled?")
@@ -118,7 +123,7 @@ def calibrate_scales(apply_fn, batches) -> jax.Array:
     tapped_j = jax.jit(tapped)
     amax = None
     for b in batches:
-        t = tapped_j(b)
+        t = tapped_j(b, *args)
         amax = t if amax is None else jnp.maximum(amax, t)
     if amax is None:
         raise ValueError("calibrate_scales: no calibration batches")

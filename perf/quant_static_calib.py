@@ -61,18 +61,23 @@ def main() -> None:
     params = jax.jit(lambda r: mf.init(r, batch[:1])["params"])(
         jax.random.PRNGKey(0))
 
-    fwd_q = lambda x: mq.apply({"params": params}, x)  # noqa: E731
     log("calibrating (4 batches)...")
-    amax = calibrate_scales(fwd_q, calib)
+    # params as jit ARGS everywhere — closure capture constant-folds the
+    # weight quantization and hangs the compile for 20+ min at vitl scale.
+    amax = calibrate_scales(lambda x, p: mq.apply({"params": p}, x),
+                            calib, params)
     log(f"calibrated {amax.shape[0]} activation sites, "
         f"amax range [{float(amax.min()):.3g}, {float(amax.max()):.3g}]")
 
+    def fq(p, x):
+        return mq.apply({"params": p}, x)
+
     d_f32 = np.asarray(jax.jit(
-        lambda x: mf.apply({"params": params}, x))(batch), np.float32)
+        lambda p, x: mf.apply({"params": p}, x))(params, batch), np.float32)
     d_bf16 = np.asarray(jax.jit(
-        lambda x: mb.apply({"params": params}, x))(batch), np.float32)
-    d_dyn = np.asarray(jax.jit(fwd_q)(batch), np.float32)
-    d_sta = np.asarray(jax.jit(with_frozen_scales(fwd_q, amax))(batch),
+        lambda p, x: mb.apply({"params": p}, x))(params, batch), np.float32)
+    d_dyn = np.asarray(jax.jit(fq)(params, batch), np.float32)
+    d_sta = np.asarray(jax.jit(with_frozen_scales(fq, amax))(params, batch),
                        np.float32)
 
     ref = np.abs(d_f32).mean()
@@ -85,10 +90,10 @@ def main() -> None:
     def step_dyn(acc, p, x):
         return jnp.mean(mq.apply({"params": p}, x + acc * 1e-9))
 
+    frozen = with_frozen_scales(fq, amax)
+
     def step_sta(acc, p, x):
-        f = with_frozen_scales(
-            lambda xx: mq.apply({"params": p}, xx), amax)
-        return jnp.mean(f(x + acc * 1e-9))
+        return jnp.mean(frozen(p, x + acc * 1e-9))
 
     per_d = time_fn(step_dyn, params, batch, iters=30, label="int8-dyn bs8")
     per_s = time_fn(step_sta, params, batch, iters=30, label="int8-sta bs8")

@@ -170,14 +170,16 @@ def test_static_calibration_roundtrip(rng):
     batches = [jnp.asarray(rng.normal(size=(2, 56, 56, 3))
                            .astype(np.float32)) for _ in range(3)]
 
-    fwd = lambda x: mq.apply({"params": params}, x)  # noqa: E731
-    amax = calibrate_scales(fwd, batches)
+    # params as a jit ARG (closure capture would constant-fold the
+    # weight quantization — calibrate_scales docstring).
+    fwd = lambda x, p: mq.apply({"params": p}, x)  # noqa: E731
+    amax = calibrate_scales(fwd, batches, params)
     assert amax.ndim == 1 and amax.shape[0] > 0 and (amax > 0).all()
-    amax2 = calibrate_scales(fwd, batches)
+    amax2 = calibrate_scales(fwd, batches, params)
     np.testing.assert_array_equal(np.asarray(amax), np.asarray(amax2))
 
     static_fwd = jax.jit(with_frozen_scales(fwd, amax))
-    d_static = np.asarray(static_fwd(image))
+    d_static = np.asarray(static_fwd(image, params))
     d_float = np.asarray(m0.apply({"params": params}, image))
     assert np.isfinite(d_static).all()
     rel = np.abs(d_static - d_float).mean() / max(np.abs(d_float).mean(),
@@ -197,9 +199,10 @@ def test_frozen_scales_site_mismatch_raises(rng):
                            quant_int8=True)
     image = jnp.asarray(rng.normal(size=(1, 56, 56, 3)).astype(np.float32))
     params = mq.init(jax.random.PRNGKey(0), image)["params"]
-    fwd = lambda x: mq.apply({"params": params}, x)  # noqa: E731
+    fwd = lambda x, p: mq.apply({"params": p}, x)  # noqa: E731
     with pytest.raises(ValueError, match="quant sites"):
-        jax.jit(with_frozen_scales(fwd, np.ones(2, np.float32)))(image)
+        jax.jit(with_frozen_scales(fwd, np.ones(2, np.float32)))(image,
+                                                                 params)
 
 
 def test_infer_cli_int8_static_calib(tmp_path, monkeypatch, rng):
