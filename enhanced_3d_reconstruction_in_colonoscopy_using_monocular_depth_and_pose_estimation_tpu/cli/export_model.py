@@ -16,6 +16,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -38,6 +39,14 @@ def main(argv=None) -> None:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--token-merge", type=float, default=0.0)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--int8-calib", type=int, default=0, metavar="K",
+                   help="with --int8 and --calib-frames: bake static "
+                        "activation scales from the first K device "
+                        "batches into the artifact (frozen-scale "
+                        "program; sidecar records the amax vector)")
+    p.add_argument("--calib-frames", default=None, metavar="DIR",
+                   help="directory of frames at --frame-hw resolution "
+                        "used for --int8-calib")
     p.add_argument("--check", action="store_true",
                    help="replay the artifact on random frames and report "
                         "the max deviation vs the live model")
@@ -60,17 +69,34 @@ def main(argv=None) -> None:
     if args.frame_hw is None:
         p.error("--frame-hw is required for inference export")
 
+    if args.int8_calib:
+        if not args.int8:
+            p.error("--int8-calib requires --int8")
+        if not args.calib_frames:
+            p.error("--int8-calib requires --calib-frames DIR")
+
     model, params = load_or_init_depth_params(args.encoder, args.max_depth,
                                               args.load_from,
                                               token_merge=args.token_merge,
                                               quant_int8=args.int8)
+    calib_frames = None
+    if args.int8_calib:
+        calib_frames = _load_calib_frames(
+            args.calib_frames, args.int8_calib * args.batch_size)
+        if not calib_frames:
+            raise SystemExit(f"[export] no readable frames in "
+                             f"{args.calib_frames}")
     meta = export_depth_program(model, params, args.output,
                                 frame_hw=tuple(args.frame_hw),
                                 batch_size=args.batch_size,
-                                input_size=args.input_size)
+                                input_size=args.input_size,
+                                calib_frames=calib_frames,
+                                calib_batches=args.int8_calib)
+    calib_note = (f", int8-calib over {len(calib_frames)} frames"
+                  if calib_frames else "")
     print(f"[export] {args.output}: {meta['artifact_bytes']} bytes, "
           f"platforms={meta['platforms']}, frame={meta['frame_hw']}, "
-          f"net={meta['net_hw']}, batch={meta['batch_size']}")
+          f"net={meta['net_hw']}, batch={meta['batch_size']}{calib_note}")
 
     if args.check:
         prog = load_exported(args.output)
@@ -82,14 +108,40 @@ def main(argv=None) -> None:
 
         import jax
 
-        ref = np.asarray(jax.jit(_program(
-            model, tuple(meta["net_hw"]),
-            tuple(meta["frame_hw"])))(params, frames))
+        ref_fn = _program(model, tuple(meta["net_hw"]),
+                          tuple(meta["frame_hw"]))
+        if meta.get("int8_calib_amax"):
+            # The artifact runs frozen scales; compare against the same
+            # frozen-scale live program, not the dynamic-quant one.
+            from ..ops.quant import with_frozen_scales
+
+            ref_fn = with_frozen_scales(
+                ref_fn, np.asarray(meta["int8_calib_amax"], np.float32))
+        ref = np.asarray(jax.jit(ref_fn)(params, frames))
         dev = float(np.abs(got - ref).max())
         print(f"[export] replay check: max |exported - live| = {dev:.3e}")
         if not np.isfinite(got).all() or dev > 1e-3 * max(
                 float(np.abs(ref).max()), 1.0):
             raise SystemExit("[export] replay check FAILED")
+
+
+def _load_calib_frames(dirpath: str, n: int) -> list:
+    """First ``n`` decodable frames from a directory (sorted), BGR
+    uint8 — same decode path as the infer CLI."""
+    import glob as globlib
+
+    from .infer import _imread_bgr
+
+    frames = []
+    for path in sorted(
+            f for pat in ("*.png", "*.jpg", "*.jpeg")
+            for f in globlib.glob(os.path.join(dirpath, pat))):
+        raw = _imread_bgr(path)
+        if raw is not None:
+            frames.append(raw)
+        if len(frames) >= n:
+            break
+    return frames
 
 
 def _export_train(args) -> None:

@@ -155,20 +155,34 @@ def main(argv=None) -> None:
 
     unreadable = 0
     if args.batch_size > 1:
-        from ..models.depth_anything import infer_images_batched
+        from ..models.depth_anything import BatchedRunner
 
         # Stream in resolution-keyed chunks of batch_size: decode lazily,
         # flush each full chunk, never hold the whole input set in memory.
+        # ONE compiled runner per resolution, built on the first flush —
+        # with --int8-calib K the first K*batch_size frames are held back
+        # so the static scales are calibrated ONCE and every later flush
+        # reuses the same frozen-scale program (advisor r4 high: the old
+        # per-chunk infer_images_batched call re-calibrated and
+        # re-compiled on every chunk).
         chunks: dict[tuple, list] = {}
+        runners: dict[tuple, BatchedRunner] = {}
+        calib_hold = max(1, args.int8_calib) * args.batch_size
 
-        def flush(shape):
-            group = chunks.pop(shape, [])
+        def flush(shape, final=False):
+            group = chunks.get(shape, [])
             if not group:
                 return
-            depths = infer_images_batched(
-                model, params, [raw for _, raw in group],
-                args.input_size, args.batch_size,
-                calib_batches=args.int8_calib)
+            runner = runners.get(shape)
+            if runner is None:
+                if args.int8_calib and len(group) < calib_hold and not final:
+                    return  # keep accumulating the calibration set
+                runner = runners[shape] = BatchedRunner(
+                    model, params, shape, args.input_size, args.batch_size,
+                    calib_frames=[raw for _, raw in group],
+                    calib_batches=args.int8_calib)
+            chunks[shape] = []
+            depths = runner([raw for _, raw in group])
             for (item, raw), depth in zip(group, depths):
                 write_outputs(*item, raw, depth)
 
@@ -183,7 +197,7 @@ def main(argv=None) -> None:
             if len(chunks[shape]) >= args.batch_size:
                 flush(shape)
         for shape in list(chunks):
-            flush(shape)
+            flush(shape, final=True)
     else:
         for filename, out_folder, base_name in todo:
             raw = _imread_bgr(filename)

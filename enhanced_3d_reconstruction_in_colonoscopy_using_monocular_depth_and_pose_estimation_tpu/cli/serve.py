@@ -103,6 +103,12 @@ def main(argv=None) -> None:
     p.add_argument("--int8", action="store_true",
                    help="dynamic-int8 encoder matmuls (opt-in speed mode, "
                         "see README)")
+    p.add_argument("--int8-calib", type=int, default=0, metavar="K",
+                   help="with --int8: freeze static activation scales "
+                        "from the first K device batches per resolution, "
+                        "then serve everything through the frozen "
+                        "program (the first K batches' results are "
+                        "delayed until calibration completes)")
     p.add_argument("--from-export", default=None, metavar="ARTIFACT",
                    help="serve an AOT StableHLO artifact "
                         "(cli/export_model.py) instead of tracing the "
@@ -112,6 +118,12 @@ def main(argv=None) -> None:
     p.add_argument("--save-numpy", action="store_true")
     p.add_argument("--grayscale", action="store_true")
     args = p.parse_args(argv)
+    if args.int8_calib:
+        if not args.int8:
+            p.error("--int8-calib requires --int8")
+        if args.from_export:
+            p.error("--int8-calib does not apply to --from-export (bake "
+                    "the scales at export time: export_model --int8-calib)")
 
     model, params = load_or_init_depth_params(args.encoder, args.max_depth,
                                               args.load_from,
@@ -176,7 +188,8 @@ def main(argv=None) -> None:
 
     with DepthServingEngine(model, params, input_size=args.input_size,
                             batch_size=args.batch_size,
-                            runner=runner) as engine:
+                            runner=runner,
+                            calib_batches=args.int8_calib) as engine:
         # Submit-then-drain in bounded chunks: a large pre-existing
         # backlog must not be decoded into host memory all at once.
         chunk = max(1, 4 * args.batch_size)

@@ -124,7 +124,25 @@ def main(argv: list[str] | None = None) -> None:
         pipeline_parallel=int(cfg.trainer.get("pipeline_parallel", 0)),
         pipe_microbatches=int(cfg.trainer.get("pipe_microbatches", 0)),
         pipe_virtual=int(cfg.trainer.get("pipe_virtual", 1)),
+        distill_encoder=(str(cfg.trainer.get("distill_encoder", "vitl"))
+                         if cfg.trainer.get("distill_from") else None),
+        distill_weight=float(cfg.trainer.get("distill_weight", 1.0)),
     )
+
+    # Knowledge distillation (TPU-native extension): freeze a trained
+    # teacher (its own checkpoint, usually a vitl fine-tune) and add a
+    # SiLog term toward its predictions to the student's step.
+    distill_from = cfg.trainer.get("distill_from")
+    if distill_from:
+        from ..models.convert import load_or_init_depth_params
+
+        enc_t = str(cfg.trainer.get("distill_encoder", "vitl"))
+        print(f"[train_depth] distilling from {enc_t} teacher "
+              f"({distill_from}, weight "
+              f"{float(cfg.trainer.get('distill_weight', 1.0))})")
+        _, teacher_params = load_or_init_depth_params(
+            enc_t, max_depth, str(distill_from))
+        task.set_teacher(teacher_params)
 
     # Encoder bootstrap from the DAv2 metric checkpoint, when present
     # (lightning_model.py:113-140).

@@ -94,9 +94,15 @@ def main(argv=None) -> None:
                    help="ToMe token-merge fraction (opt-in speed mode)")
     p.add_argument("--int8", action="store_true",
                    help="dynamic-int8 encoder matmuls (opt-in speed mode)")
+    p.add_argument("--int8-calib", type=int, default=0, metavar="K",
+                   help="with --int8: freeze static activation scales "
+                        "from the first K device batches, then run the "
+                        "whole video through the frozen program")
     args = p.parse_args(argv)
     if args.every_n < 1:
         p.error("--every-n must be >= 1")
+    if args.int8_calib and not args.int8:
+        p.error("--int8-calib requires --int8")
 
     model, params = load_or_init_depth_params(args.encoder, args.max_depth,
                                               args.load_from,
@@ -109,7 +115,8 @@ def main(argv=None) -> None:
     n_out = 0
     try:
         with DepthServingEngine(model, params, input_size=args.input_size,
-                                batch_size=args.batch_size) as engine:
+                                batch_size=args.batch_size,
+                                calib_batches=args.int8_calib) as engine:
             def render(rgb: np.ndarray, depth: np.ndarray) -> np.ndarray:
                 vis = colorize_depth(depth, grayscale=args.grayscale,
                                      bgr=False)

@@ -199,6 +199,101 @@ def _dp_runner(net_hw: tuple[int, int], out_hw: tuple[int, int],
     return jfn, rep
 
 
+class BatchedRunner:
+    """Reusable compiled batched-inference program for ONE resolution.
+
+    Build once per ``(resolution, batch_size)`` group, call many times —
+    the streaming CLI path holds one of these per resolution so static
+    int8 calibration happens ONCE (on the first K device batches) and
+    every later flush reuses the same frozen-scale jit instead of
+    re-calibrating and re-compiling per chunk (advisor r4 high).
+    """
+
+    def __init__(self, model: DepthAnythingV2, params,
+                 resolution_hw: tuple[int, int],
+                 input_size: int = 518, batch_size: int = 8,
+                 data_parallel: bool | None = None,
+                 calib_frames: list[np.ndarray] | None = None,
+                 calib_batches: int = 0):
+        h, w = resolution_hw
+        self.resolution_hw = (h, w)
+        self.batch_size = batch_size
+        net_hw = _lower_bound_hw(h, w, input_size)
+
+        n_dev = jax.device_count()
+        use_dp = (n_dev > 1 if data_parallel is None else data_parallel)
+        use_dp = use_dp and n_dev > 1 and batch_size % n_dev == 0
+        if calib_batches > 0 and use_dp and data_parallel is None:
+            # Auto-DP would kick in, but calibration is single-chip only.
+            # The CLI exposes no data_parallel flag, so fall back with a
+            # warning instead of raising an unreachable remedy (advisor
+            # r4 low); explicit data_parallel=True still hard-errors.
+            import warnings
+
+            warnings.warn("static int8 calibration does not compose with "
+                          "multi-device inference; falling back to "
+                          "single-chip for this run", stacklevel=2)
+            use_dp = False
+        # The int8 auto scope keys on the PER-DEVICE batch: under DP the
+        # batch spreads over n_dev chips, otherwise it sits on one.
+        model_static = _ModelThunk(
+            model.clone(data_shards=n_dev if use_dp else 1))
+        if calib_batches > 0:
+            if not model.quant_int8:
+                raise ValueError("calib_batches requires quant_int8=True")
+            if use_dp:
+                raise ValueError("static int8 calibration does not compose "
+                                 "with multi-device inference yet — pass "
+                                 "data_parallel=False or drop calib_batches")
+            from ..ops.quant import calibrate_scales, with_frozen_scales
+
+            def fwd(p, x):
+                return _run_batched.__wrapped__(p, x, net_hw, (h, w),
+                                                model_static)
+
+            calib_frames = calib_frames or []
+            want = calib_batches * batch_size
+            if len(calib_frames) < want:
+                import warnings
+
+                warnings.warn(
+                    f"int8 calibration requested {calib_batches} batches "
+                    f"({want} frames) but only {len(calib_frames)} frames "
+                    f"were available — scales frozen from a smaller set",
+                    stacklevel=2)
+            if not calib_frames:
+                raise ValueError("calib_batches > 0 requires calib_frames")
+            calib = [jnp.asarray(arr) for arr, _ in chunk_rgb01(
+                calib_frames[:want], batch_size)]
+            # params go through as a jit ARG (closure capture would bake
+            # them as constants — see calibrate_scales docstring).
+            self.amax = calibrate_scales(
+                lambda x, p: fwd(p, x), calib, params)
+            self._run = jax.jit(with_frozen_scales(fwd, self.amax))
+            self._params = params
+        elif use_dp:
+            run_j, rep = _dp_runner(net_hw, (h, w), model_static, n_dev)
+            self._params = jax.device_put(params, rep)
+            self._run = run_j
+        else:
+            self._params = params
+            # positional: _run_batched's static_argnums are positional-only
+            self._run = (lambda p, x: _run_batched(p, x, net_hw, (h, w),
+                                                   model_static))
+
+    def __call__(self, bgr_frames: list[np.ndarray]) -> list[np.ndarray]:
+        h, w = self.resolution_hw
+        for f in bgr_frames:
+            if f.shape[:2] != (h, w):
+                raise ValueError("BatchedRunner is compiled for "
+                                 f"{(h, w)}; got {f.shape[:2]}")
+        outputs: list[np.ndarray] = []
+        for arr, n in chunk_rgb01(bgr_frames, self.batch_size):
+            outputs.extend(
+                np.asarray(self._run(self._params, jnp.asarray(arr)))[:n])
+        return outputs
+
+
 def infer_images_batched(model: DepthAnythingV2, params,
                          bgr_frames: list[np.ndarray],
                          input_size: int = 518,
@@ -221,7 +316,8 @@ def infer_images_batched(model: DepthAnythingV2, params,
     device batches (``ops/quant.py calibrate_scales``), then everything
     runs through a dedicated frozen-scale program (its own jit: the
     frozen scales are closure constants, not part of the shared
-    ``_run_batched`` cache key). Single-chip path only.
+    ``_run_batched`` cache key). Single-chip path only. Streaming callers
+    should build a :class:`BatchedRunner` once and reuse it instead.
     """
     if not bgr_frames:
         return []
@@ -230,46 +326,10 @@ def infer_images_batched(model: DepthAnythingV2, params,
         if f.shape[:2] != (h, w):
             raise ValueError("infer_images_batched requires equal "
                              "resolutions; use infer_image for mixed sizes")
-    net_hw = _lower_bound_hw(h, w, input_size)
-
-    n_dev = jax.device_count()
-    use_dp = (n_dev > 1 if data_parallel is None else data_parallel)
-    use_dp = use_dp and n_dev > 1 and batch_size % n_dev == 0
-    # The int8 auto scope keys on the PER-DEVICE batch: under DP the
-    # batch spreads over n_dev chips, otherwise it sits on one.
-    model_static = _ModelThunk(
-        model.clone(data_shards=n_dev if use_dp else 1))
-    if calib_batches > 0:
-        if not model.quant_int8:
-            raise ValueError("calib_batches requires quant_int8=True")
-        if use_dp:
-            raise ValueError("static int8 calibration does not compose "
-                             "with multi-device inference yet — pass "
-                             "data_parallel=False or drop calib_batches")
-        from ..ops.quant import calibrate_scales, with_frozen_scales
-
-        def fwd(p, x):
-            return _run_batched.__wrapped__(p, x, net_hw, (h, w),
-                                            model_static)
-
-        calib = [jnp.asarray(arr) for arr, _ in chunk_rgb01(
-            bgr_frames[:calib_batches * batch_size], batch_size)]
-        # params go through as a jit ARG (closure capture would bake
-        # them as constants — see calibrate_scales docstring).
-        amax = calibrate_scales(lambda x, p: fwd(p, x), calib, params)
-        run = jax.jit(with_frozen_scales(fwd, amax))
-    elif use_dp:
-        run_j, rep = _dp_runner(net_hw, (h, w), model_static, n_dev)
-        params = jax.device_put(params, rep)
-        run = lambda p, x: run_j(p, x)                        # noqa: E731
-    else:
-        run = lambda p, x: _run_batched(p, x, net_hw, (h, w),  # noqa: E731
-                                        model_static)
-
-    outputs: list[np.ndarray] = []
-    for arr, n in chunk_rgb01(bgr_frames, batch_size):
-        outputs.extend(np.asarray(run(params, jnp.asarray(arr)))[:n])
-    return outputs
+    runner = BatchedRunner(model, params, (h, w), input_size, batch_size,
+                           data_parallel, calib_frames=bgr_frames,
+                           calib_batches=calib_batches)
+    return runner(bgr_frames)
 
 
 def chunk_rgb01(bgr_frames: list[np.ndarray], batch_size: int):

@@ -97,11 +97,19 @@ class DepthServingEngine:
 
     def __init__(self, model, params, input_size: int = 518,
                  batch_size: int = 8, max_delay_s: float = 0.05,
-                 runner=None):
+                 runner=None, calib_batches: int = 0):
         """``runner`` (optional): ``list[BGR uint8] -> list[(H,W) f32]``
         replacing the default jit path — e.g. an AOT-exported program
         (``serving/export.py``; see ``cli/serve.py --from-export``).
-        ``model``/``params`` may be ``None`` when a runner is given."""
+        ``model``/``params`` may be ``None`` when a runner is given.
+
+        ``calib_batches > 0`` (requires ``model.quant_int8``): one-shot
+        static int8 calibration per resolution — the first K device
+        batches are held (their futures resolve late) while their frames
+        calibrate the frozen-scale program; every later batch of that
+        resolution reuses it. A partial (timeout-flushed) batch or
+        engine close() triggers calibration early with what is there, so
+        low-load latency and final drains stay bounded."""
         import jax
 
         self._runner = runner
@@ -111,6 +119,18 @@ class DepthServingEngine:
         self.input_size = input_size
         self.batch_size = batch_size
         self.max_delay_s = max_delay_s
+        self.calib_batches = int(calib_batches)
+        if self.calib_batches > 0:
+            if runner is not None:
+                raise ValueError("calib_batches does not apply to an "
+                                 "exported runner (its dials are fixed "
+                                 "at export time)")
+            if not getattr(model, "quant_int8", False):
+                raise ValueError("calib_batches requires a quant_int8 "
+                                 "model (--int8)")
+        # resolution -> frozen BatchedRunner / held (items) backlog
+        self._frozen: dict[tuple, object] = {}
+        self._calib_wait: dict[tuple, list] = {}
         self._queue: queue.Queue = queue.Queue()
         self._stats = _Stats()
         self._deferred: list = []  # worker-local: other-resolution frames
@@ -203,32 +223,80 @@ class DepthServingEngine:
             self._queue.put(None)  # keep shutdown pending until drained
         return items
 
+    def _serve_items(self, items, run) -> None:
+        frames = [bgr for bgr, _, _ in items]
+        futures = [fut for _, fut, _ in items]
+        t_subs = [t for _, _, t in items]
+        failed = False
+        try:
+            depths = run(frames)
+            for fut, depth in zip(futures, depths):
+                fut.set_result(depth)
+        except Exception as exc:  # propagate to all waiters
+            failed = True
+            for fut in futures:
+                if not fut.done():
+                    fut.set_exception(exc)
+        done = time.monotonic()
+        self._stats.note_batch(len(items), [done - t for t in t_subs],
+                               failed)
+
+    def _freeze_and_serve(self, shape: tuple) -> None:
+        """Calibrate once on the held backlog for ``shape``, install the
+        frozen-scale runner, and serve the backlog through it."""
+        from ..models.depth_anything import BatchedRunner
+
+        items = self._calib_wait.pop(shape, [])
+        if not items:
+            return
+        frames = [bgr for bgr, _, _ in items]
+        try:
+            runner = BatchedRunner(
+                self.model, self.params, shape[:2],
+                input_size=self.input_size, batch_size=self.batch_size,
+                calib_frames=frames, calib_batches=self.calib_batches)
+        except Exception as exc:
+            for _, fut, _ in items:
+                if not fut.done():
+                    fut.set_exception(exc)
+            self._stats.note_batch(len(items), [], True)
+            return
+        self._frozen[shape] = runner
+        self._serve_items(items, runner)
+
     def _run(self) -> None:
         from ..models.depth_anything import infer_images_batched
+
+        def default_run(frames):
+            return infer_images_batched(
+                self.model, self.params, frames,
+                input_size=self.input_size, batch_size=self.batch_size)
 
         while True:
             items = self._collect_batch()
             if items is None:
+                # Final drain: calibrate-and-serve any held backlog
+                # before shutdown (smaller calibration set, warned by
+                # BatchedRunner).
+                for shape in list(self._calib_wait):
+                    self._freeze_and_serve(shape)
                 return
-            frames = [bgr for bgr, _, _ in items]
-            futures = [fut for _, fut, _ in items]
-            t_subs = [t for _, _, t in items]
-            failed = False
-            try:
-                if self._runner is not None:
-                    depths = self._runner(frames)
-                else:
-                    depths = infer_images_batched(
-                        self.model, self.params, frames,
-                        input_size=self.input_size,
-                        batch_size=self.batch_size)
-                for fut, depth in zip(futures, depths):
-                    fut.set_result(depth)
-            except Exception as exc:  # propagate to all waiters
-                failed = True
-                for fut in futures:
-                    if not fut.done():
-                        fut.set_exception(exc)
-            done = time.monotonic()
-            self._stats.note_batch(len(items), [done - t for t in t_subs],
-                                   failed)
+            if self._runner is not None:
+                self._serve_items(items, self._runner)
+                continue
+            if self.calib_batches > 0:
+                shape = items[0][0].shape
+                frozen = self._frozen.get(shape)
+                if frozen is not None:
+                    self._serve_items(items, frozen)
+                    continue
+                wait = self._calib_wait.setdefault(shape, [])
+                wait.extend(items)
+                # Calibrate once K device batches are held — or early on
+                # a timeout-flushed partial batch (low load: don't hold
+                # futures past the batching delay).
+                if (len(wait) >= self.calib_batches * self.batch_size
+                        or len(items) < self.batch_size):
+                    self._freeze_and_serve(shape)
+                continue
+            self._serve_items(items, default_run)

@@ -44,10 +44,22 @@ def _program(model, net_hw: tuple[int, int], out_hw: tuple[int, int]):
 def export_depth_program(model, params, path: str,
                          frame_hw: tuple[int, int],
                          batch_size: int = 8,
-                         input_size: int = 518) -> dict:
+                         input_size: int = 518,
+                         calib_frames=None,
+                         calib_batches: int = 0) -> dict:
     """Serialize the batched inference program for ``model`` at a fixed
     camera resolution. Returns the metadata dict (also written to
-    ``<path>.json``)."""
+    ``<path>.json``).
+
+    ``calib_batches > 0`` (requires ``model.quant_int8`` and
+    ``calib_frames``: BGR uint8 frames at ``frame_hw``): one-shot static
+    int8 calibration at EXPORT time — the per-site activation abs-max
+    vector is measured on the first K device batches, baked into the
+    exported program as constants, and recorded in the sidecar
+    (``int8_calib_amax``) so deploys can audit the dial. The artifact
+    then serves with frozen scales everywhere; no per-serve
+    recalibration (the deployment contract static calibration exists
+    for)."""
     import jax
     from jax import export as jexport
 
@@ -56,6 +68,27 @@ def export_depth_program(model, params, path: str,
     h, w = int(frame_hw[0]), int(frame_hw[1])
     net_hw = _lower_bound_hw(h, w, input_size)
     fn = _program(model, net_hw, (h, w))
+
+    amax = None
+    if calib_batches > 0:
+        import jax.numpy as jnp
+
+        from ..models.depth_anything import chunk_rgb01
+        from ..ops.quant import calibrate_scales, with_frozen_scales
+
+        if not model.quant_int8:
+            raise ValueError("calib_batches requires quant_int8=True")
+        if not calib_frames:
+            raise ValueError("calib_batches > 0 requires calib_frames")
+        for fr in calib_frames:
+            if tuple(np.shape(fr)[:2]) != (h, w):
+                raise ValueError(
+                    f"calibration frames must match frame_hw ({h}, {w}); "
+                    f"got {np.shape(fr)[:2]}")
+        calib = [jnp.asarray(arr) for arr, _ in chunk_rgb01(
+            list(calib_frames)[:calib_batches * batch_size], batch_size)]
+        amax = calibrate_scales(lambda x, p: fn(p, x), calib, params)
+        fn = with_frozen_scales(fn, amax)
 
     param_specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), params)
@@ -90,6 +123,9 @@ def export_depth_program(model, params, path: str,
         "quant_scope": str(model.quant_scope),
         "quant_dpt": bool(model.quant_dpt),
         "token_merge": float(model.token_merge),
+        "int8_calib_batches": int(calib_batches),
+        "int8_calib_amax": ([float(v) for v in np.asarray(amax)]
+                            if amax is not None else None),
         "artifact_bytes": len(data),
         "param_manifest": manifest,
     }

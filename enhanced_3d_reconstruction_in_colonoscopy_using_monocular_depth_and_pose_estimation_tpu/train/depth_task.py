@@ -75,6 +75,8 @@ class DepthTask:
         pipeline_parallel: int = 0,
         pipe_microbatches: int = 0,
         pipe_virtual: int = 1,
+        distill_encoder: str | None = None,
+        distill_weight: float = 1.0,
     ):
         # quant_int8 is inference-only (zero gradients through round);
         # it is exposed here so the test/eval CLI can run quantized.
@@ -130,6 +132,28 @@ class DepthTask:
         else:
             self._pp_forward = None
         self._model_repl = None  # data_shards=1 clone, built on demand
+        # Knowledge distillation (TPU-native extension beyond the
+        # reference's capability set; the step being extended is the SiLog
+        # step of ``lightning_model.py:170-224``): a frozen teacher
+        # (typically vitl) forward under stop-gradient adds
+        # ``distill_weight * silog(student, teacher)`` to the loss, so a
+        # small student (vits/vitb) can be trained toward the 82.9 fps
+        # vitl headline's predictions as a cheaper deployment point.
+        # Teacher params are NOT in the train state (frozen by
+        # construction) and enter the jitted step as an argument — a
+        # closure capture would bake 335M params in as constants and
+        # constant-fold for 20+ min at compile (see
+        # ops/quant.py calibrate_scales).
+        self.distill_weight = float(distill_weight)
+        self.teacher_model = None
+        self.teacher_params = None
+        if distill_encoder is not None:
+            if self.pipeline_parallel > 1:
+                raise ValueError("distill_encoder does not compose with "
+                                 "pipeline_parallel")
+            self.teacher_model = build_depth_model(
+                distill_encoder, max_depth, dtype=policy.compute_dtype,
+                data_shards=self.mesh.shape[meshlib.DATA_AXIS])
         self.grad_accum = int(grad_accum)
         self.tensor_parallel = tensor_parallel
         self.fsdp = fsdp
@@ -261,26 +285,51 @@ class DepthTask:
             model = self._model_repl
         return model.apply({"params": params}, image)
 
+    def set_teacher(self, teacher_params) -> None:
+        """Install frozen teacher weights for distillation (replicated —
+        the teacher is inference-only, so DP-style replication is the
+        right layout on every mesh)."""
+        if self.teacher_model is None:
+            raise ValueError("task was built without distill_encoder")
+        rep = meshlib.replicated_sharding(self.mesh)
+        self.teacher_params = jax.device_put(
+            teacher_params, jax.tree.map(lambda _: rep, teacher_params))
+
     def _loss_and_metrics(self, params, image, depth, max_depth_arr,
-                          train: bool = False):
+                          train: bool = False, teacher_params=None):
         pred = self._forward(params, image, train=train)  # (b, h, w)
         gt = depth[..., 0] if depth.ndim == 4 else depth
         maxd = max_depth_arr[:, None, None]
         mask = (gt >= self.min_depth) & (gt <= maxd)
         loss = silog_loss(pred, gt, mask)
         metrics = compute_depth_errors(jax.lax.stop_gradient(pred), gt, mask)
+        if teacher_params is not None:
+            # Teacher forward under stop-gradient: soft targets from the
+            # frozen big model, same SiLog distance as the hard loss.
+            # Masked to the teacher's confident range — sigmoid-scaled
+            # output is always in [0, max_depth], but values below
+            # min_depth would hit the loss's log guard.
+            t_pred = jax.lax.stop_gradient(self.teacher_model.apply(
+                {"params": teacher_params}, image))
+            t_mask = (t_pred >= self.min_depth) & (t_pred <= maxd)
+            distill = silog_loss(pred, t_pred, t_mask)
+            loss = loss + self.distill_weight * distill
+            metrics["distill"] = jax.lax.stop_gradient(distill)
         return loss, metrics
 
     # ------------------------------------------------------------ train step
 
     def _build_train_step(self):
-        def step_fn(state: DepthTrainState, batch: dict) -> tuple:
+        def step_fn(state: DepthTrainState, batch: dict,
+                    teacher_params=None) -> tuple:
             """batch leaves have shape (A, mb, ...): A = grad-accum chunks.
 
             An optional ``weight`` (A,) vector down-weights padded chunks so
             a trailing partial accumulation group at epoch end still steps
             the optimizer (Lightning steps on the remainder; see
             ``fit_depth``). Grads/metrics are weighted means over chunks.
+            ``teacher_params``: frozen distillation teacher (an argument,
+            never a closure constant — see ``__init__``).
             """
             accum = batch["image"].shape[0]
             mb = batch["image"].shape[1]
@@ -306,7 +355,8 @@ class DepthTask:
                 image, depth, maxd, wi = xs
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_and_metrics, has_aux=True)(
-                        state.params, image, depth, maxd, train=True)
+                        state.params, image, depth, maxd, train=True,
+                        teacher_params=teacher_params)
                 if flat_mode:
                     # Add in the grad dtype THEN cast, matching the tree
                     # carry's rounding so E3D_ACCUM_FLAT composes with
@@ -344,8 +394,9 @@ class DepthTask:
             if flat_mode:
                 flat0, unravel = jax.flatten_util.ravel_pytree(zero_grads)
                 zero_grads = flat0
-            zero_mets = {k: jnp.zeros((), jnp.float32)
-                         for k in ("d1", "abs_rel", "rmse", "l1")}
+            met_keys = ("d1", "abs_rel", "rmse", "l1") + (
+                ("distill",) if teacher_params is not None else ())
+            zero_mets = {k: jnp.zeros((), jnp.float32) for k in met_keys}
             maxd = batch.get(
                 "max_depth",
                 jnp.full((accum, mb), self.max_depth, jnp.float32))
@@ -397,6 +448,15 @@ class DepthTask:
 
     def train_step(self, state: DepthTrainState, batch: dict):
         """batch: dict of (A, mb, ...) arrays; returns (state, metrics)."""
+        jitted = self.jitted_train_step(state, batch)
+        if self.teacher_params is not None:
+            return jitted(state, batch, self.teacher_params)
+        return jitted(state, batch)
+
+    def jitted_train_step(self, state: DepthTrainState, batch: dict):
+        """The jitted step program for this (state, batch) regime —
+        built but NOT executed (the export/guardrail tests lower it
+        ahead-of-time for platforms this host doesn't have)."""
         # Sharding regime re-decided per call (one compiled program per
         # regime): freezing the first batch's divisibility would pin a
         # debug-batch warmup's replicated layout onto every later
@@ -420,15 +480,21 @@ class DepthTask:
                 batch_shardings["weight"] = \
                     meshlib.replicated_sharding(self.mesh)
             metric_sh = meshlib.replicated_sharding(self.mesh)
+            met_keys = ("d1", "abs_rel", "rmse", "l1", "loss")
+            in_sh = [state_shardings, batch_shardings]
+            if self.teacher_params is not None:
+                met_keys += ("distill",)
+                rep = meshlib.replicated_sharding(self.mesh)
+                in_sh.append(jax.tree.map(lambda _: rep,
+                                          self.teacher_params))
             self._train_step[key] = jax.jit(
                 step_fn,
                 donate_argnums=(0,),
-                in_shardings=(state_shardings, batch_shardings),
+                in_shardings=tuple(in_sh),
                 out_shardings=(state_shardings,
-                               {k: metric_sh for k in
-                                ("d1", "abs_rel", "rmse", "l1", "loss")}),
+                               {k: metric_sh for k in met_keys}),
             )
-        return self._train_step[key](state, batch)
+        return self._train_step[key]
 
     # ------------------------------------------------------------- eval step
 

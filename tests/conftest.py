@@ -50,6 +50,7 @@ _QUICK_MODULES = {
     "test_native_png",
     "test_eval_edge_cases",
     "test_token_merge",
+    "test_remat",
 }
 
 

@@ -1,0 +1,160 @@
+"""Knowledge distillation: frozen-teacher SiLog term in the depth step.
+
+TPU-native extension beyond the reference's capability set (the step
+being extended is ``/root/reference/lightning_model.py:170-224``): a
+frozen teacher forward under stop-gradient adds
+``distill_weight * silog(student, teacher)`` to the student's loss.
+These tests pin the mechanism: teacher frozen, loss composition,
+metrics logged, and a CLI round trip (VERDICT r4 next #6).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import e3d_tpu  # noqa: F401
+from e3d_tpu.core.dtypes import POLICY_F32
+from e3d_tpu.train.depth_task import DepthTask
+
+CONFIG_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+
+def _batch(rng, accum=1, mb=2, hw=56):
+    return {
+        "image": jnp.asarray(rng.normal(size=(accum, mb, hw, hw, 3))
+                             .astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(0.5, 19.0,
+                                         size=(accum, mb, hw, hw, 1))
+                             .astype(np.float32)),
+    }
+
+
+def _make_task(weight=None):
+    kw = {}
+    if weight is not None:
+        kw = dict(distill_encoder="vitt", distill_weight=weight)
+    # div_factor=10: the default 1e9 makes the step-1 OneCycle LR ~5e-15,
+    # so a single step moves params by less than f32 resolution and the
+    # with/without-teacher comparison would be vacuously equal.
+    return DepthTask(encoder="vitt", max_depth=20.0, total_steps=10,
+                     grad_accum=1, grad_checkpoint=False, div_factor=10.0,
+                     policy=POLICY_F32, **kw)
+
+
+def test_distill_mechanism(rng):
+    """Loss composition + frozen teacher + self-distillation identity."""
+    batch = _batch(rng)
+    base = _make_task()
+    state0 = base.init_state(jax.random.PRNGKey(0), (56, 56))
+
+    # Teacher with different weights than the student.
+    t_task = _make_task(weight=1.0)
+    t_params = t_task.model.init(jax.random.PRNGKey(7),
+                                 jnp.zeros((1, 56, 56, 3)))["params"]
+    t_task.set_teacher(t_params)
+    t_before = jax.tree.map(np.asarray, t_task.teacher_params)
+
+    state_d, met_d = t_task.train_step(
+        t_task.init_state(jax.random.PRNGKey(0), (56, 56)), batch)
+    assert "distill" in met_d and float(met_d["distill"]) > 0.0
+    # total loss = hard SiLog + weight * distill
+    state_b, met_b = base.train_step(state0, batch)
+    assert float(met_d["loss"]) == pytest.approx(
+        float(met_b["loss"]) + 1.0 * float(met_d["distill"]), rel=1e-5)
+
+    # The teacher actually changed the step (different resulting params).
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state_d.params, state_b.params))
+    assert max(diffs) > 0.0
+
+    # Teacher weights are frozen by construction — bit-identical after
+    # the step.
+    for a, b in zip(jax.tree.leaves(t_before),
+                    jax.tree.leaves(jax.tree.map(
+                        np.asarray, t_task.teacher_params))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_distill_weight_zero_matches_plain_step(rng):
+    """weight=0: the teacher term contributes nothing — the step must
+    land on exactly the same params as a no-teacher task."""
+    batch = _batch(rng)
+    plain = _make_task()
+    s_plain, m_plain = plain.train_step(
+        plain.init_state(jax.random.PRNGKey(0), (56, 56)), batch)
+
+    task = _make_task(weight=0.0)
+    t_params = task.model.init(jax.random.PRNGKey(7),
+                               jnp.zeros((1, 56, 56, 3)))["params"]
+    task.set_teacher(t_params)
+    s_d, m_d = task.train_step(
+        task.init_state(jax.random.PRNGKey(0), (56, 56)), batch)
+
+    assert float(m_d["loss"]) == pytest.approx(float(m_plain["loss"]),
+                                               rel=1e-6)
+    for a, b in zip(jax.tree.leaves(s_plain.params),
+                    jax.tree.leaves(s_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_self_distillation_term_is_zero(rng):
+    """Teacher == student init => student's first forward equals the
+    teacher's, so the distill term starts at exactly zero."""
+    batch = _batch(rng)
+    task = _make_task(weight=1.0)
+    state = task.init_state(jax.random.PRNGKey(0), (56, 56))
+    task.set_teacher(state.params)
+    _, metrics = task.train_step(state, batch)
+    assert float(metrics["distill"]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_distill_cli_smoke(tmp_path, monkeypatch):
+    """trainer.distill_from wires a teacher checkpoint end to end and the
+    distill metric reaches the run's metrics.jsonl."""
+    import torch
+
+    from e3d_tpu.cli import train_depth
+    from e3d_tpu.data.synthetic import make_simcol_fixture
+    from e3d_tpu.models.convert import synthetic_dav2_state_dict
+
+    root = make_simcol_fixture(str(tmp_path / "simcol"),
+                               n_procedures=2, frames_per_proc=6, hw=64)
+    state = {f"model.{k}": torch.tensor(v)
+             for k, v in synthetic_dav2_state_dict("vitt").items()}
+    teacher_ckpt = tmp_path / "teacher.pth"
+    torch.save({"state_dict": state}, teacher_ckpt)
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("E3D_CONFIG_ROOT", CONFIG_ROOT)
+    train_depth.main([
+        f"dataset.data_dir={root}",
+        f"dataset.train_list={root}/train.txt",
+        f"dataset.val_list={root}/val.txt",
+        f"dataset.test_list={root}/test.txt",
+        "dataset.batch_size=2",
+        "dataset.num_workers=2",
+        "dataset.size=56",
+        "model.encoder=vitt",
+        "model.use_checkpoint=false",
+        "trainer.max_epochs=1",
+        "trainer.accumulate_grad_batches=1",
+        "trainer.precision=32-true",
+        "++trainer.max_steps=2",
+        f"trainer.distill_from={teacher_ckpt}",
+        "trainer.distill_encoder=vitt",
+        "trainer.distill_weight=0.5",
+    ])
+    exp_dirs = list((tmp_path / "configs" / "experiments" /
+                     "simcol").iterdir())
+    assert exp_dirs
+    lines = [json.loads(ln) for ln in
+             (exp_dirs[0] / "metrics.jsonl").read_text().splitlines()]
+    train_rows = [r for r in lines if any("distill" in k for k in r)]
+    assert train_rows, "distill metric never logged"

@@ -62,6 +62,59 @@ def test_export_metadata_sidecar(exported):
     assert on_disk["platforms"]  # backend recorded for deploy targeting
 
 
+def test_export_int8_calibrated_artifact(tmp_path):
+    """--int8-calib at export time: the frozen-scale program is baked
+    into the artifact (sidecar records the amax vector) and its replay
+    matches the frozen-scale live program exactly — serving never
+    recalibrates (VERDICT r4 #3: calibrated scales reach the export
+    deployment path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from e3d_tpu.ops.quant import with_frozen_scales
+    from e3d_tpu.serving.export import _program
+
+    model = build_depth_model("vitt", 20.0, dtype=jnp.float32,
+                              quant_int8=True)
+    img = jnp.zeros((1, 56, 56, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img)["params"]
+    rng = np.random.default_rng(2)
+    calib = [rng.integers(0, 255, (48, 64, 3), np.uint8) for _ in range(4)]
+
+    path = str(tmp_path / "vitt_int8c.stablehlo")
+    meta = export_depth_program(model, params, path, frame_hw=(48, 64),
+                                batch_size=4, input_size=56,
+                                calib_frames=calib, calib_batches=1)
+    assert meta["int8_calib_batches"] == 1
+    amax = meta["int8_calib_amax"]
+    assert amax and all(v > 0 for v in amax)
+
+    prog = load_exported(path)
+    frames = rng.random((4, 48, 64, 3)).astype(np.float32)
+    got = np.asarray(prog(params, frames))
+    ref_fn = with_frozen_scales(
+        _program(model, tuple(meta["net_hw"]), (48, 64)),
+        np.asarray(amax, np.float32))
+    ref = np.asarray(jax.jit(ref_fn)(params, frames))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(got).all()
+
+    # guard rails: calibration demands a quantized model + frames
+    with pytest.raises(ValueError, match="quant_int8"):
+        export_depth_program(build_depth_model("vitt", 20.0,
+                                               dtype=jnp.float32),
+                             params, path + "2", frame_hw=(48, 64),
+                             batch_size=4, input_size=56,
+                             calib_frames=calib, calib_batches=1)
+    with pytest.raises(ValueError, match="calib_frames"):
+        export_depth_program(model, params, path + "3", frame_hw=(48, 64),
+                             batch_size=4, input_size=56, calib_batches=1)
+    with pytest.raises(ValueError, match="frame_hw"):
+        export_depth_program(model, params, path + "4", frame_hw=(48, 64),
+                             batch_size=4, input_size=56,
+                             calib_frames=[calib[0][:32]], calib_batches=1)
+
+
 def test_export_train_step_replay(tmp_path):
     """The exported TRAIN step replays bit-identically to the live jitted
     step: same next-state params/opt-state and same metrics after one

@@ -202,8 +202,10 @@ def test_pp_head_shards_over_full_mesh(rng):
         "PP forward compiled without the head-output all-gather — the " \
         "DPT head is running replicated over the pipeline axis again"
 
-    # 12 rows: divides data(4) x micro(2)=8? no -> but the pipeline needs
-    # that too; use 8 rows on a mesh whose FULL size (16) doesn't divide.
+    # Replicated-head fallback control: on a 2x4 mesh, a 4-row batch
+    # divides data*micro (2*2=4) so the pipeline schedule runs, but NOT
+    # data*model (2*4=8) — so the DPT head can't shard over the full
+    # mesh and must fall back to replicated (zero all-gathers).
     mesh_wide = build_mesh(MeshSpec(data=2, model=4))
     fwd_wide = build_pp_depth_forward(model, mesh_wide, stages=4, n_micro=2)
     img4 = img[:4]  # 4 rows: divides data*micro=4, not data*model=8

@@ -221,10 +221,25 @@ def test_infer_cli_int8_static_calib(tmp_path, monkeypatch, rng):
     filelist = tmp_path / "files.txt"
     filelist.write_text("\n".join(paths) + "\n")
     monkeypatch.chdir(tmp_path)
+    # The 5 files stream as 3 chunks at batch-size 2; the CLI must
+    # calibrate ONCE (on the first K=1 device batches) and reuse the
+    # frozen-scale program for the rest (advisor r4 high: per-chunk
+    # re-calibration both broke the contract and re-compiled per chunk).
+    from e3d_tpu.ops import quant as quant_mod
+
+    calls = {"n": 0}
+    real_calibrate = quant_mod.calibrate_scales
+
+    def counting_calibrate(*a, **k):
+        calls["n"] += 1
+        return real_calibrate(*a, **k)
+
+    monkeypatch.setattr(quant_mod, "calibrate_scales", counting_calibrate)
     infer.main(["--encoder", "vitt", "-i", str(filelist),
                 "-o", str(tmp_path / "out"), "--input-size", "56",
                 "--save-numpy", "--int8", "--batch-size", "2",
                 "--int8-calib", "1"])
+    assert calls["n"] == 1, f"calibrated {calls['n']} times, expected once"
     for i in range(5):
         d = np.load(tmp_path / "out" / f"f{i}.npy")
         assert d.shape == (64, 64) and np.isfinite(d).all()

@@ -50,6 +50,46 @@ def test_serve_cli_once(tmp_path):
     assert rel < 0.1, rel
 
 
+def test_serve_cli_int8_calib_once(tmp_path, monkeypatch):
+    """serve --int8 --int8-calib K: calibrates ONCE per resolution (the
+    deployment contract — frozen scales, no per-batch recalibration) and
+    produces outputs close to the dynamic-int8 path."""
+    from e3d_tpu.cli import serve
+    from e3d_tpu.ops import quant as quant_mod
+
+    rng = np.random.default_rng(0)
+    indir = tmp_path / "frames"
+    indir.mkdir()
+    for i in range(9):  # 3 device batches at batch-size 4 (last partial)
+        Image.fromarray(rng.integers(0, 255, size=(64, 64, 3),
+                                     dtype=np.uint8)).save(
+            indir / f"frame_{i:03d}.png")
+
+    calls = {"n": 0}
+    real_calibrate = quant_mod.calibrate_scales
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real_calibrate(*a, **k)
+
+    monkeypatch.setattr(quant_mod, "calibrate_scales", counting)
+    outdir = tmp_path / "depths_calib"
+    serve.main(["--encoder", "vitt", "-i", str(indir), "-o", str(outdir),
+                "--input-size", "56", "--batch-size", "4", "--once",
+                "--save-numpy", "--int8", "--int8-calib", "1"])
+    npys = sorted(glob.glob(str(outdir / "*.npy")))
+    assert len(npys) == 9
+    assert calls["n"] == 1, f"calibrated {calls['n']} times"
+    for p in npys:
+        d = np.load(p)
+        assert d.shape == (64, 64) and np.isfinite(d).all()
+
+    # flag contract: --int8-calib without --int8 / with --from-export
+    with pytest.raises(SystemExit):
+        serve.main(["--encoder", "vitt", "-i", str(indir), "-o",
+                    str(tmp_path / "x"), "--once", "--int8-calib", "1"])
+
+
 def test_serve_retry_tracker_parks_and_unparks(tmp_path):
     """A slow multi-poll upload must be retried until the file stops
     changing; a STABLE unreadable file is parked (stat-only skip), and a
