@@ -226,7 +226,12 @@ def main() -> None:
 
 
 def measure_train() -> None:
-    """Train-step throughput diagnostic -> stderr + BENCH_TRAIN.json.
+    """Train + pose throughput diagnostics -> stderr + BENCH_*.json.
+
+    Pose runs FIRST: its compiles are seconds while the depth train
+    compile can eat the driver budget (836 s in r04, killing the pose
+    section and its bf16 fields). Ordering cheap-before-expensive means
+    a timeout truncates the expensive number, not the cheap one.
 
     Effective batch 24 like the reference best-run config (vitl 518,
     batch 6 x grad-accum 4, configs/experiments/simcol/mvitl_.../
@@ -243,6 +248,9 @@ def measure_train() -> None:
     from enhanced_3d_reconstruction_in_colonoscopy_using_monocular_depth_and_pose_estimation_tpu.train.depth_task import (  # noqa: E501
         DepthTask,
     )
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    measure_pose_train(repo)
 
     accum = int(os.environ.get("E3D_BENCH_TRAIN_ACCUM", "3"))
     mb = int(os.environ.get("E3D_BENCH_TRAIN_BS", "8"))
@@ -297,8 +305,6 @@ def measure_train() -> None:
                    "compile_s": round(train_compile_s, 1),
                    "config": f"vitl 518px bs{mb} accum{accum} "
                              f"no-remat bf16"}, f)
-
-    measure_pose_train(repo)
 
 
 def measure_pose_train(repo: str) -> None:

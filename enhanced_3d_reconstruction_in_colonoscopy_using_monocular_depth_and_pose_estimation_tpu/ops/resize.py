@@ -47,6 +47,38 @@ _PALLAS_RESIZE = os.environ.get("E3D_PALLAS_RESIZE", "0") == "1"
 # order-insensitive (+-1%). Default "wh" (W pass first).
 _ORDER = os.environ.get("E3D_RESIZE_ORDER", "wh")
 
+# Block-banded resize matmuls (round 5, measured DEAD END — default off):
+# a bilinear align-corners resize matrix has exactly 2 nonzeros per
+# output row, so the dense (out, in) einsum wastes ~in/2 x the MACs.
+# Chunking output rows into blocks of _BAND_CHUNK and statically slicing
+# the input to each block's nonzero band cuts the contraction dim ~4x at
+# the hot 296->518 shape with identical numerics (verified exact) — and
+# still measured SLOWER in-model: full vitl-518 bs8 forward 104.12 ms
+# banded vs 100.45 dense (perf/resize_banded_ab.log). The resizes are
+# not MAC-bound in-model; the chunked matmuls + concat fuse worse than
+# the one dense einsum. Evidence for perf/dpt_resize_closure.md; knob
+# kept for future shapes.
+_BANDED = os.environ.get("E3D_RESIZE_BANDED", "0") == "1"
+_BAND_CHUNK = int(os.environ.get("E3D_RESIZE_BAND_CHUNK", "128"))
+
+
+def _band_slices(mat: np.ndarray, chunk: int):
+    """Static (row0, row1, in_lo, in_hi) tiles covering ``mat``'s nonzero
+    band, or None when banding buys < 2x (then dense is better: one big
+    matmul beats several similar-size ones)."""
+    out, n_in = mat.shape
+    tiles = []
+    total_band = 0
+    for o0 in range(0, out, chunk):
+        sub = mat[o0:min(o0 + chunk, out)]
+        nz = np.nonzero(np.abs(sub).sum(axis=0) > 0)[0]
+        lo, hi = int(nz[0]), int(nz[-1]) + 1
+        tiles.append((o0, min(o0 + chunk, out), lo, hi))
+        total_band += (hi - lo) * sub.shape[0]
+    if total_band * 2 > out * n_in:
+        return None
+    return tiles
+
 
 def _cubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
     """Keys cubic convolution kernel (PIL uses a=-0.5)."""
@@ -147,6 +179,15 @@ def _apply_separable(x: Array, mat_h: np.ndarray, mat_w: np.ndarray,
         a_h = jnp.asarray(mat_h, jnp.bfloat16)
         a_w = jnp.asarray(mat_w, jnp.bfloat16)
         eff = order or _ORDER
+        if _BANDED and eff == "wh":
+            tw = _band_slices(mat_w, _BAND_CHUNK)
+            th = _band_slices(mat_h, _BAND_CHUNK)
+            if tw is not None or th is not None:
+                y = _banded_pass(mat_w, tw, x, axis="w")
+                return _finish(_banded_pass(mat_h, th,
+                                            y.astype(jnp.bfloat16),
+                                            axis="h"),
+                               dtype, squeeze_chan, squeeze_batch)
         if eff == "nchw":
             t = jnp.transpose(x, (0, 3, 1, 2))
             y = jnp.einsum("ow,bchw->bcho", a_w, t,
@@ -173,12 +214,35 @@ def _apply_separable(x: Array, mat_h: np.ndarray, mat_w: np.ndarray,
         hi = jax.lax.Precision.HIGHEST
         y = jnp.einsum("oh,bhwc->bowc", a_h, xf, precision=hi)
         y = jnp.einsum("ow,bhwc->bhoc", a_w, y, precision=hi)
+    return _finish(y, dtype, squeeze_chan, squeeze_batch)
+
+
+def _finish(y: Array, dtype, squeeze_chan: bool, squeeze_batch: bool
+            ) -> Array:
     y = y.astype(dtype)
     if squeeze_chan:
         y = y[..., 0]
     if squeeze_batch:
         y = y[0]
     return y
+
+
+def _banded_pass(mat: np.ndarray, tiles, x: Array, axis: str) -> Array:
+    """One resize pass as per-output-chunk banded matmuls (f32 output,
+    like the dense einsums). ``tiles`` None = dense fallback."""
+    eq = "ow,bhwc->bhoc" if axis == "w" else "oh,bhwc->bowc"
+    if tiles is None:
+        return jnp.einsum(eq, jnp.asarray(mat, jnp.bfloat16), x,
+                          preferred_element_type=jnp.float32)
+    chunks = []
+    for o0, o1, lo, hi in tiles:
+        sub = jnp.asarray(mat[o0:o1, lo:hi], jnp.bfloat16)
+        xs = x[:, :, lo:hi] if axis == "w" else x[:, lo:hi]
+        chunks.append(jnp.einsum(eq, sub, xs,
+                                 preferred_element_type=jnp.float32))
+    if len(chunks) == 1:
+        return chunks[0]
+    return jnp.concatenate(chunks, axis=2 if axis == "w" else 1)
 
 
 def resize_antialias(x: Array, out_hw: tuple[int, int],

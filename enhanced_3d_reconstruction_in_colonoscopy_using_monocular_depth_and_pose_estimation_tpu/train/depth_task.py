@@ -288,12 +288,19 @@ class DepthTask:
     def set_teacher(self, teacher_params) -> None:
         """Install frozen teacher weights for distillation (replicated —
         the teacher is inference-only, so DP-style replication is the
-        right layout on every mesh)."""
+        right layout on every mesh).
+
+        The tree is COPIED: the train step donates ``state``, so a
+        teacher aliasing the student's buffers (self-distillation,
+        EMA-style setups) would trip XLA's donated-buffer-reuse check on
+        the first step.
+        """
         if self.teacher_model is None:
             raise ValueError("task was built without distill_encoder")
         rep = meshlib.replicated_sharding(self.mesh)
-        self.teacher_params = jax.device_put(
-            teacher_params, jax.tree.map(lambda _: rep, teacher_params))
+        self.teacher_params = jax.tree.map(
+            lambda a: jax.device_put(jnp.array(a, copy=True), rep),
+            teacher_params)
 
     def _loss_and_metrics(self, params, image, depth, max_depth_arr,
                           train: bool = False, teacher_params=None):

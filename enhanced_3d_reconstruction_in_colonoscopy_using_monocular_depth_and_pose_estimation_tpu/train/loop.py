@@ -237,6 +237,9 @@ def fit_depth(
                             {"train_loss": metrics["loss"],
                              **{f"Train/train_{k}": metrics[k]
                                 for k in ("d1", "abs_rel", "rmse", "l1")},
+                             # distillation term, when a teacher is set
+                             **{f"Train/train_{k}": metrics[k]
+                                for k in ("distill",) if k in metrics},
                              "lr/encoder": float(lr_table["encoder"][lr_idx]),
                              "lr/decoder": float(lr_table["decoder"][lr_idx]),
                              "epoch": epoch}, step=step)

@@ -104,15 +104,19 @@ def test_distill_weight_zero_matches_plain_step(rng):
                                    rtol=1e-6, atol=1e-7)
 
 
-def test_self_distillation_term_is_zero(rng):
-    """Teacher == student init => student's first forward equals the
-    teacher's, so the distill term starts at exactly zero."""
+def test_self_distillation_term_is_near_zero(rng):
+    """Teacher == student init => the distill term starts at (numerical)
+    zero: the two applies share params, so any residue is XLA fusion
+    noise through the SiLog sqrt — orders of magnitude under the hard
+    loss. A tap/masking bug would be O(hard loss)."""
     batch = _batch(rng)
     task = _make_task(weight=1.0)
     state = task.init_state(jax.random.PRNGKey(0), (56, 56))
     task.set_teacher(state.params)
     _, metrics = task.train_step(state, batch)
-    assert float(metrics["distill"]) == pytest.approx(0.0, abs=1e-6)
+    distill = float(metrics["distill"])
+    assert distill < 1e-3, distill
+    assert distill < 1e-2 * float(metrics["loss"])
 
 
 def test_distill_cli_smoke(tmp_path, monkeypatch):
