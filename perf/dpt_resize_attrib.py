@@ -104,14 +104,28 @@ def main() -> None:
         if m and names:
             inst_meta.setdefault(m.group(1), names[0])
 
+    # Container spans (the jit program + the fori while) overlap every
+    # per-op event — drop them so buckets sum to real device-op time.
+    times = collections.Counter({
+        op: d for op, d in times.items()
+        if not op.startswith("jit_") and not op.startswith("while")})
+    total = sum(times.values())
+    print(f"per-op device time (containers excluded): {total/1e3:.2f} ms")
+
+    # resize_align_corners lowers to einsums tagged with their equation
+    # (ow,bhwc->bhoc / oh,bhwc->bowc); the DPT tap-resize stack is the
+    # resize_N module scope; antialias input resize has its own scope.
+    RESIZE = ("ow,bhwc", "oh,bhwc", "bhoc", "bowc", "resize")
     buckets = collections.Counter()
     unknown = collections.Counter()
+    resize_ops = []
     for op, dur in times.items():
         tag = inst_meta.get(op, "")
         low = tag.lower()
-        if "resize" in low or "_apply_separable" in low:
-            buckets["resize"] += dur
-        elif "flash" in low or "attn" in low or "attention" in low:
+        if any(p in low for p in RESIZE):
+            buckets["resize(+taps)"] += dur
+            resize_ops.append((dur, op, tag))
+        elif "flash" in low or "attn" in low:
             buckets["attention"] += dur
         elif "conv" in low or op.startswith("convolution"):
             buckets["conv"] += dur
@@ -120,15 +134,17 @@ def main() -> None:
         else:
             buckets["other"] += dur
             unknown[f"{op} [{tag[:90]}]"] += dur
+    iters = 20
+    print(f"(trace covers {iters} forwards — divide by {iters} for "
+          f"per-forward ms)")
     for k, v in buckets.most_common():
-        print(f"{v/1e3:10.2f} ms  {100*v/max(total,1):5.1f}%  {k}")
+        print(f"{v/1e3:10.2f} ms total  {v/1e3/iters:7.2f} ms/fwd "
+              f"{100*v/max(total,1):5.1f}%  {k}")
     print("\n# top unattributed/other ops:")
     for name, dur in unknown.most_common(15):
         print(f"{dur/1e3:10.2f} ms  {name}")
-    print("\n# top resize ops:")
-    res = [(dur, op, inst_meta.get(op, "")) for op, dur in times.items()
-           if "resize" in inst_meta.get(op, "").lower()]
-    for dur, op, tag in sorted(res, reverse=True)[:15]:
+    print("\n# top resize ops (total over 20 fwd):")
+    for dur, op, tag in sorted(resize_ops, reverse=True)[:20]:
         print(f"{dur/1e3:10.2f} ms  {op}  [{tag[:110]}]")
 
 
