@@ -267,6 +267,16 @@ class DPTHead(nn.Module):
         # per-phase 1x1 head conv unchanged (both pointwise) and is
         # unpacked after the sigmoid, where the tensor is 1-channel.
         out = PackedStride2Conv(32, self.dtype, name="output_conv2_0")(out)
-        out = nn.relu(out.astype(jnp.float32))
-        z = PackedPointwiseHead(32, name="output_conv2_2")(out)
+        if os.environ.get("E3D_HEAD_RELU_BF16", "0") == "1":
+            # A/B knob (round 5): relu in compute dtype, f32 cast moved
+            # to the 1x1 head input — relu(cast(x)) == cast(relu(x))
+            # bit-exactly, but the f32 materialization between them
+            # (trace: copy.1037, ~1.0 ms/fwd at bs8) halves to bf16 and
+            # the cast can fuse into the einsum's operand load.
+            out = nn.relu(out)
+            z = PackedPointwiseHead(32, name="output_conv2_2")(
+                out.astype(jnp.float32))
+        else:
+            out = nn.relu(out.astype(jnp.float32))
+            z = PackedPointwiseHead(32, name="output_conv2_2")(out)
         return _depth_to_space2(nn.sigmoid(z))

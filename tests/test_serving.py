@@ -110,3 +110,55 @@ def test_serving_stats_counts_failures(model_and_params):
             fut.result(timeout=120)
         stats = engine.stats()
     assert stats["failed"] == 1 and stats["completed"] == 0
+
+
+@pytest.fixture(scope="module")
+def quant_model_and_params():
+    model = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32,
+                              quant_int8=True)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 56, 56, 3)))["params"]
+    return model, params
+
+
+def test_serving_calib_partial_batch_low_load(quant_model_and_params, rng):
+    """calib_batches with fewer frames than one full batch: the timeout-
+    flushed PARTIAL batch triggers early calibration (with a warning)
+    instead of holding the futures until more traffic arrives."""
+    import warnings as warnings_mod
+
+    model, params = quant_model_and_params
+    frames = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+              for _ in range(2)]  # < batch_size
+    with DepthServingEngine(model, params, input_size=56, batch_size=4,
+                            max_delay_s=0.05, calib_batches=2) as engine:
+        futures = engine.submit_many(frames)
+        # Futures must resolve WITHOUT more submissions or close().
+        results = [f.result(timeout=180) for f in futures]
+    for d in results:
+        assert d.shape == (64, 64) and np.isfinite(d).all()
+    assert engine.stats()["completed"] == 2
+
+
+def test_serving_calib_close_flushes_backlog(quant_model_and_params, rng):
+    """A held calibration backlog is calibrated-and-served on close():
+    no future is ever dropped by shutdown."""
+    model, params = quant_model_and_params
+    frames = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+              for _ in range(4)]  # exactly one full batch, K=2 wants 8
+    engine = DepthServingEngine(model, params, input_size=56, batch_size=4,
+                                max_delay_s=30.0, calib_batches=2)
+    try:
+        futures = engine.submit_many(frames)
+    finally:
+        engine.close()  # sentinel -> final drain calibrates the backlog
+    results = [f.result(timeout=180) for f in futures]
+    for d in results:
+        assert d.shape == (64, 64) and np.isfinite(d).all()
+
+
+def test_serving_calib_requires_quant_model(model_and_params):
+    model, params = model_and_params
+    with pytest.raises(ValueError, match="quant_int8"):
+        DepthServingEngine(model, params, input_size=56, batch_size=4,
+                           calib_batches=1)
