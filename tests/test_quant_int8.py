@@ -187,6 +187,39 @@ def test_static_calibration_roundtrip(rng):
     assert 0.0 < rel < 0.2, rel
 
 
+def test_calib_auto_dp_falls_back_single_chip(rng):
+    """Auto data-parallel (8 devices, divisible batch) + calibration:
+    falls back to single-chip with a warning instead of raising an
+    unreachable 'pass data_parallel=False' remedy (advisor r4 low);
+    explicit data_parallel=True still hard-errors."""
+    import warnings
+
+    import pytest
+
+    from e3d_tpu.models import build_depth_model
+    from e3d_tpu.models.depth_anything import BatchedRunner
+
+    mq = build_depth_model("vitt", max_depth=20.0, dtype=jnp.float32,
+                           quant_int8=True)
+    params = mq.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 56, 56, 3)))["params"]
+    frames = [np.full((64, 64, 3), 128, np.uint8) for _ in range(8)]
+
+    with warnings.catch_warnings(record=True) as captured:
+        warnings.simplefilter("always")
+        runner = BatchedRunner(mq, params, (64, 64), input_size=56,
+                               batch_size=8, data_parallel=None,
+                               calib_frames=frames, calib_batches=1)
+    assert any("single-chip" in str(w.message) for w in captured)
+    depths = runner(frames)
+    assert len(depths) == 8 and np.isfinite(depths[0]).all()
+
+    with pytest.raises(ValueError, match="multi-device"):
+        BatchedRunner(mq, params, (64, 64), input_size=56, batch_size=8,
+                      data_parallel=True, calib_frames=frames,
+                      calib_batches=1)
+
+
 def test_frozen_scales_site_mismatch_raises(rng):
     """A frozen-scale vector from a different site count fails loudly at
     trace time instead of misassigning scales to sites."""
