@@ -178,12 +178,32 @@ def _run_batched(params, rgb01, net_hw, out_hw, model_static):
     return resize_align_corners(depth[..., None], out_hw)[..., 0]
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _run_batched_u8(params, bgr_u8, net_hw, out_hw, model_static,
+                    readback_f16: bool = False):
+    """uint8-BGR entry: the BGR->RGB flip and /255 run ON DEVICE, so the
+    host uploads 4x fewer bytes per batch than the f32 form — measured
+    through the axon tunnel as 9.1 -> 12.2 served fps at a 60 fps
+    arrival stream (perf/serve_latency{,_u8}.log); identical IEEE math
+    to the host-side conversion (round 5). ``readback_f16`` additionally
+    halves the depth readback (f16 keeps ~0.01 absolute at the 20 m
+    range cap — the same opt-in trade as E3D_POISSON_READBACK); a
+    STATIC arg, not a trace-time env read, so a flipped knob can never
+    be served by a stale cached program. The f32 ``_run_batched``
+    remains the export/AOT calling convention."""
+    rgb01 = bgr_u8[..., ::-1].astype(jnp.float32) / 255.0
+    out = _run_batched.__wrapped__(params, rgb01, net_hw, out_hw,
+                                   model_static)
+    return out.astype(jnp.float16) if readback_f16 else out
+
+
 @functools.lru_cache(maxsize=8)
 def _dp_runner(net_hw: tuple[int, int], out_hw: tuple[int, int],
-               model_static, n_devices: int):
+               model_static, n_devices: int, readback_f16: bool = False):
     """Data-parallel batched-inference program: batch sharded over the
     ``data`` mesh axis, params replicated — multi-chip serving with no
-    collectives (SURVEY.md section 2c)."""
+    collectives (SURVEY.md section 2c). ``readback_f16`` is part of the
+    cache key, so a flipped knob gets its own program."""
     from ..parallel import mesh as meshlib
 
     mesh = meshlib.build_mesh(meshlib.MeshSpec(data=n_devices, model=1))
@@ -191,9 +211,9 @@ def _dp_runner(net_hw: tuple[int, int], out_hw: tuple[int, int],
     batch_sh = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(meshlib.DATA_AXIS))
 
-    def fn(params, rgb01):
-        return _run_batched.__wrapped__(params, rgb01, net_hw, out_hw,
-                                        model_static)
+    def fn(params, bgr_u8):
+        return _run_batched_u8.__wrapped__(params, bgr_u8, net_hw, out_hw,
+                                           model_static, readback_f16)
 
     jfn = jax.jit(fn, in_shardings=(rep, batch_sh), out_shardings=batch_sh)
     return jfn, rep
@@ -248,8 +268,8 @@ class BatchedRunner:
             from ..ops.quant import calibrate_scales, with_frozen_scales
 
             def fwd(p, x):
-                return _run_batched.__wrapped__(p, x, net_hw, (h, w),
-                                                model_static)
+                return _run_batched_u8.__wrapped__(p, x, net_hw, (h, w),
+                                                   model_static)
 
             calib_frames = calib_frames or []
             want = calib_batches * batch_size
@@ -263,23 +283,32 @@ class BatchedRunner:
                     stacklevel=2)
             if not calib_frames:
                 raise ValueError("calib_batches > 0 requires calib_frames")
-            calib = [jnp.asarray(arr) for arr, _ in chunk_rgb01(
+            calib = [jnp.asarray(arr) for arr, _ in chunk_bgr_u8(
                 calib_frames[:want], batch_size)]
             # params go through as a jit ARG (closure capture would bake
             # them as constants — see calibrate_scales docstring).
             self.amax = calibrate_scales(
                 lambda x, p: fwd(p, x), calib, params)
-            self._run = jax.jit(with_frozen_scales(fwd, self.amax))
+            frozen = with_frozen_scales(fwd, self.amax)
+            if os.environ.get("E3D_SERVE_READBACK", "f32") == "f16":
+                base = frozen
+                frozen = lambda p, x: base(p, x).astype(jnp.float16)  # noqa: E731,E501
+            self._run = jax.jit(frozen)
             self._params = params
         elif use_dp:
-            run_j, rep = _dp_runner(net_hw, (h, w), model_static, n_dev)
+            run_j, rep = _dp_runner(
+                net_hw, (h, w), model_static, n_dev,
+                os.environ.get("E3D_SERVE_READBACK", "f32") == "f16")
             self._params = jax.device_put(params, rep)
             self._run = run_j
         else:
             self._params = params
-            # positional: _run_batched's static_argnums are positional-only
-            self._run = (lambda p, x: _run_batched(p, x, net_hw, (h, w),
-                                                   model_static))
+            # Resolved ONCE at construction (not per trace) and passed
+            # as a static jit arg — see _run_batched_u8.
+            f16 = os.environ.get("E3D_SERVE_READBACK", "f32") == "f16"
+            # positional: the jit's static_argnums are positional-only
+            self._run = (lambda p, x: _run_batched_u8(p, x, net_hw, (h, w),
+                                                      model_static, f16))
 
     def __call__(self, bgr_frames: list[np.ndarray]) -> list[np.ndarray]:
         h, w = self.resolution_hw
@@ -288,7 +317,10 @@ class BatchedRunner:
                 raise ValueError("BatchedRunner is compiled for "
                                  f"{(h, w)}; got {f.shape[:2]}")
         outputs: list[np.ndarray] = []
-        for arr, n in chunk_rgb01(bgr_frames, self.batch_size):
+        # uint8 upload: 4x less host->device traffic than f32 (the
+        # BGR->RGB flip and /255 happen inside the jit — see
+        # _run_batched_u8).
+        for arr, n in chunk_bgr_u8(bgr_frames, self.batch_size):
             outputs.extend(
                 np.asarray(self._run(self._params, jnp.asarray(arr)))[:n])
         return outputs
@@ -335,9 +367,10 @@ def infer_images_batched(model: DepthAnythingV2, params,
 def chunk_rgb01(bgr_frames: list[np.ndarray], batch_size: int):
     """Yield ``(rgb01 (batch_size, H, W, 3) f32, n_valid)`` device-batch
     chunks: BGR->RGB, /255, zero-padded ragged tails (one compiled
-    shape). The ONE place serving pre-batching lives — shared by the
-    live path above and the AOT-exported path (``serving/export.py``) so
-    the two can't silently diverge."""
+    shape). The AOT-export calling convention (``serving/export.py``)
+    and the shared pre-batching reference; the LIVE path uploads uint8
+    instead (``chunk_bgr_u8`` + ``_run_batched_u8`` — same math on
+    device, 4x less H2D traffic)."""
     for start in range(0, len(bgr_frames), batch_size):
         chunk = bgr_frames[start:start + batch_size]
         arr = np.stack([f[..., ::-1] for f in chunk]).astype(np.float32)
@@ -347,6 +380,21 @@ def chunk_rgb01(bgr_frames: list[np.ndarray], batch_size: int):
             arr = np.concatenate(
                 [arr, np.zeros((batch_size - n,) + arr.shape[1:],
                                np.float32)])
+        yield arr, n
+
+
+def chunk_bgr_u8(bgr_frames: list[np.ndarray], batch_size: int):
+    """Yield ``(bgr (batch_size, H, W, 3) uint8, n_valid)`` device-batch
+    chunks with zero-padded ragged tails — the live serving upload
+    format (BGR->RGB and /255 run on device, see ``_run_batched_u8``)."""
+    for start in range(0, len(bgr_frames), batch_size):
+        chunk = bgr_frames[start:start + batch_size]
+        arr = np.stack(chunk).astype(np.uint8, copy=False)
+        n = len(chunk)
+        if n < batch_size:
+            arr = np.concatenate(
+                [arr, np.zeros((batch_size - n,) + arr.shape[1:],
+                               np.uint8)])
         yield arr, n
 
 

@@ -130,9 +130,17 @@ def test_serve_retry_tracker_parks_and_unparks(tmp_path):
 
 
 def test_serve_cli_from_export(tmp_path):
-    """serve --from-export replays the AOT artifact: same depths as the
-    live-traced engine (same program), mismatched-resolution frames are
-    skipped without claiming their output stem."""
+    """serve --from-export replays the AOT artifact: depths agree with
+    the live engine to bf16 compute tolerance, mismatched-resolution
+    frames are skipped without claiming their output stem.
+
+    Tolerance note: the artifact keeps the f32-ingest calling
+    convention while the live engine uploads uint8 and converts on
+    device (round 5, 4x less H2D). The math is identical, but the two
+    programs fuse differently, so the bf16 trunk reassociates within
+    ~bf16 eps (~1% — same band as the documented bf16-vs-f32 model
+    deviation, perf/quant_int8_dev.log). Exported-vs-frozen-live at the
+    SAME convention stays bit-exact (test_export.py / export --check)."""
     from e3d_tpu.cli import export_model, serve
 
     rng = np.random.default_rng(0)
@@ -165,8 +173,10 @@ def test_serve_cli_from_export(tmp_path):
     assert len(exp) == 3   # exported path skips it
     assert not (out_exp / "odd.npy").exists()
     for a, b in zip([p for p in live if "odd" not in p], exp):
-        np.testing.assert_allclose(np.load(a), np.load(b),
-                                   rtol=1e-5, atol=1e-5)
+        da, db = np.load(a), np.load(b)
+        rel = np.abs(da - db).mean() / max(np.abs(db).mean(), 1e-6)
+        assert rel < 0.03, rel  # bf16 reassociation band, see docstring
+        np.testing.assert_allclose(da, db, rtol=0.05, atol=0.15)
 
     # Dials contradicting the artifact's traced-in configuration are a
     # loud error, not a silently ignored flag.
