@@ -162,3 +162,24 @@ def test_serving_calib_requires_quant_model(model_and_params):
     with pytest.raises(ValueError, match="quant_int8"):
         DepthServingEngine(model, params, input_size=56, batch_size=4,
                            calib_batches=1)
+
+
+def test_serving_readback_f16_knob(model_and_params, rng, monkeypatch):
+    """E3D_SERVE_READBACK=f16 halves the depth readback: outputs come
+    back float16 within f16 quantization of the f32 path (~0.01 absolute
+    at the 20 m range cap; perf/serve_ingest_notes.md). The knob is
+    resolved at runner construction and passed as a STATIC jit arg, so
+    a flipped knob can never be served by a stale cached program."""
+    from e3d_tpu.models.depth_anything import infer_images_batched
+
+    model, params = model_and_params
+    frames = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+              for _ in range(3)]
+    d32 = infer_images_batched(model, params, frames, input_size=56,
+                               batch_size=4, data_parallel=False)
+    monkeypatch.setenv("E3D_SERVE_READBACK", "f16")
+    d16 = infer_images_batched(model, params, frames, input_size=56,
+                               batch_size=4, data_parallel=False)
+    assert d32[0].dtype == np.float32 and d16[0].dtype == np.float16
+    for a, b in zip(d16, d32):
+        np.testing.assert_allclose(a.astype(np.float32), b, atol=0.02)
