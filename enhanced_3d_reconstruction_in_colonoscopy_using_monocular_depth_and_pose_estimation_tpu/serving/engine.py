@@ -159,6 +159,13 @@ class DepthServingEngine:
         over a recent-sample reservoir."""
         return self._stats.snapshot()
 
+    def reset_stats(self) -> None:
+        """Zero the counters and latency reservoir — call after warmup
+        so the first batch's compile latency (seconds-to-minutes) does
+        not sit in the p99/max of an SLO measurement window
+        (perf/serve_latency*.log were polluted exactly this way)."""
+        self._stats = _Stats(keep=self._stats._keep)
+
     def submit_many(self, frames: Sequence[np.ndarray]) -> list[Future]:
         return [self.submit(f) for f in frames]
 

@@ -55,6 +55,7 @@ def main() -> None:
         t0 = time.time()
         [f.result(timeout=1800) for f in warm]
         print(f"warmup batch: {time.time()-t0:.1f}s", flush=True)
+        engine.reset_stats()  # exclude the compile from the SLO window
 
         period = 1.0 / RATE_FPS
         futs = []

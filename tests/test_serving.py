@@ -183,3 +183,24 @@ def test_serving_readback_f16_knob(model_and_params, rng, monkeypatch):
     assert d32[0].dtype == np.float32 and d16[0].dtype == np.float16
     for a, b in zip(d16, d32):
         np.testing.assert_allclose(a.astype(np.float32), b, atol=0.02)
+
+
+def test_serving_reset_stats_excludes_warmup(model_and_params, rng):
+    """reset_stats() zeroes the reservoir so a warmup batch's compile
+    latency does not sit in a later SLO window's p99/max."""
+    model, params = model_and_params
+    frames = [rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+              for _ in range(4)]
+    with DepthServingEngine(model, params, input_size=56,
+                            batch_size=4) as engine:
+        [f.result(timeout=120) for f in engine.submit_many(frames)]
+        assert engine.stats()["completed"] == 4
+        engine.reset_stats()
+        s = engine.stats()
+        assert s["completed"] == 0 and s["batches"] == 0
+        assert "latency_p50_ms" not in s  # empty reservoir
+        [f.result(timeout=120) for f in engine.submit_many(frames[:2])]
+        s2 = engine.stats()
+        assert s2["completed"] == 2 and s2["submitted"] == 2
+        # post-reset latencies are steady-state, not compile-scale
+        assert s2["latency_max_ms"] < 60_000
